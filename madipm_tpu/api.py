@@ -1,0 +1,136 @@
+"""Top-level solver API.
+
+``madipm(model, **options)`` — the TPU-native analogue of the reference's
+``madipm(m; kwargs...)`` entry point (reference: src/solver.jl:420-428):
+construct the solver from a problem model, run the Mehrotra
+predictor-corrector loop, and return execution statistics.
+
+Pipeline (mirrors the reference's solve stack, SURVEY §3.1/§3.3):
+
+    QuadraticModel (host, sparse)
+      -> [optional presolve / Ruiz scaling, see models/]
+      -> slack_form (equality-only constraints; MadNLP [x; s] layout)
+      -> pad_to_device (padded dense DeviceQP pytree)
+      -> solver.driver.solve_device / solve_logged (one jitted XLA program)
+      -> IPMStats (unscaled, mapped back to the input model's variables)
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.qp import DeviceQP, QuadraticModel, pad_to_device, slack_form
+from .solver import driver
+from .utils.options import IPMOptions, PrintLevel, load_options
+from .utils.stats import IPMStats
+from .utils.status import Status
+
+
+def _ensure_x64():
+    if not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
+    # Persistent compilation cache: repeated solves of same-shape problems
+    # (the benchmark sweep pattern, scripts/benchmarks_cpu.jl:15-58) skip
+    # recompilation across processes.
+    if not jax.config.jax_compilation_cache_dir:
+        # Key the cache by backend: entries AOT-compiled for the TPU-tunnel
+        # host CPU are not safe to load on this machine (feature mismatch).
+        backend = jax.default_backend()
+        jax.config.update("jax_compilation_cache_dir", f"/tmp/madipm_jax_cache_{backend}")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+class MPCSolver:
+    """Stateful convenience wrapper (reference ``MPCSolver(nlp; kwargs...)``,
+    src/structure.jl:79-178): holds the transformed device problem and
+    compiled solve so repeated solves reuse the XLA executable."""
+
+    def __init__(self, model: QuadraticModel, dtype=None, pad_multiple: int = 128, **options):
+        _ensure_x64()
+        self.model = model
+        self.opt = options.pop("options", None) or load_options(**options)
+        self.dtype = jnp.dtype(dtype) if dtype is not None else jnp.float64
+        t0 = time.time()
+        self.slack_model = slack_form(model)
+        self.prob = pad_to_device(self.slack_model, dtype=self.dtype, pad_multiple=pad_multiple)
+        self.cfg = driver.make_config(self.opt, is_qp=self.prob.is_qp, dtype=self.dtype)
+        self.init_time = time.time() - t0
+
+    def solve(self, logged: bool = None) -> IPMStats:
+        t0 = time.time()
+        if logged is None:
+            logged = self.opt.print_level <= PrintLevel.INFO
+        if logged:
+            prob_s, scale, state = driver.solve_logged(
+                self.cfg, self.prob, max_wall_time=self.opt.max_wall_time
+            )
+        else:
+            run = jax.jit(driver.solve_device, static_argnums=0)
+            prob_s, scale, state = run(self.cfg, self.prob)
+            state = jax.tree_util.tree_map(lambda a: a.block_until_ready(), state)
+        solver_time = time.time() - t0
+        return self._build_stats(scale, state, solver_time)
+
+    def _build_stats(self, scale, state, solver_time) -> IPMStats:
+        m0, n0 = self.model.ncon, self.model.nvar
+        osc = float(scale.obj_scale)
+        csc = np.asarray(scale.con_scale)[:m0]
+        x = np.asarray(state.x)[:n0]
+        y = np.asarray(state.y)[:m0] * csc / osc
+        zl = np.asarray(state.zl)[:n0] / osc
+        zu = np.asarray(state.zu)[:n0] / osc
+        objective = float(state.obj_val) / osc
+        sign = 1.0 if self.model.minimize else -1.0
+        status = Status(int(state.status))
+        return IPMStats(
+            status=status,
+            objective=sign * objective,
+            solution=x,
+            constraints=self.model.cons(x),
+            multipliers=y,
+            multipliers_L=zl,
+            multipliers_U=zu,
+            iter=int(state.k),
+            primal_feas=float(state.inf_pr),
+            dual_feas=float(state.inf_du),
+            complementarity=float(state.inf_compl),
+            total_time=solver_time + self.init_time,
+            init_time=self.init_time,
+            solver_time=solver_time,
+        )
+
+
+def madipm(model: QuadraticModel, **options) -> IPMStats:
+    """Solve an LP/QP with the Mehrotra predictor-corrector interior-point
+    method (reference: src/solver.jl:420-428).
+
+    For maximization models the objective is negated on entry and the
+    reported objective flipped back (reference update_solution!,
+    src/utils.jl:150-156).
+    """
+    if not model.minimize:
+        import dataclasses as _dc
+
+        neg = QuadraticModel(
+            c=-model.c,
+            A=model.A,
+            lcon=model.lcon,
+            ucon=model.ucon,
+            lvar=model.lvar,
+            uvar=model.uvar,
+            Q=None if model.Q is None else -model.Q,
+            c0=-model.c0,
+            x0=model.x0,
+            y0=model.y0,
+            name=model.name,
+            minimize=False,  # remembered so stats flips the sign back
+        )
+        solver = MPCSolver(neg, **options)
+        return solver.solve()
+    solver = MPCSolver(model, **options)
+    return solver.solve()

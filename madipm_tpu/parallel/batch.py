@@ -1,0 +1,129 @@
+"""Batched (vmapped + sharded) solves.
+
+TPU-native replacement for the reference's *serial* benchmark sweeps
+(reference: scripts/benchmarks_cpu.jl:15-58 loops over instances one at a
+time): instances padded to a common bucket shape are stacked on a leading
+axis, the whole solve is ``vmap``-ed (XLA batches every factorization and
+matvec onto the MXU) and the batch axis is sharded across the device mesh —
+each chip solves its shard, no communication needed (pure data parallelism
+over DCN/ICI).
+
+``vmap`` of ``lax.while_loop`` runs until every instance terminates, with
+per-instance updates masked out once an instance's status leaves REGULAR —
+the padded-bucket analogue of per-instance early exit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.qp import DeviceQP, QuadraticModel, pad_to_device, slack_form
+from ..solver import driver
+from ..solver.state import IPMState
+from ..utils.options import IPMOptions, load_options
+from ..utils.stats import IPMStats
+from ..utils.status import Status
+
+
+def stack_problems(probs: Sequence[DeviceQP]) -> DeviceQP:
+    """Stack same-shape DeviceQPs along a new leading batch axis."""
+    shapes = {(p.m, p.n, p.Q is not None) for p in probs}
+    if len(shapes) != 1:
+        raise ValueError(f"all problems must share a padded shape, got {shapes}")
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *probs)
+
+
+def bucket_pad(models: Sequence[QuadraticModel], pad_multiple: int = 128, dtype=jnp.float64):
+    """Slack-form + pad a set of models to one common bucket shape."""
+    slacked = [slack_form(m) for m in models]
+    m_pad = max(pad_multiple, *(int(np.ceil(s.ncon / pad_multiple)) * pad_multiple for s in slacked))
+    n_pad = max(pad_multiple, *(int(np.ceil(s.nvar / pad_multiple)) * pad_multiple for s in slacked))
+    probs = [pad_to_device(s, dtype=dtype, m_pad=m_pad, n_pad=n_pad) for s in slacked]
+    return stack_problems(probs), slacked
+
+
+def solve_batched(
+    cfg: driver.SolverConfig,
+    probs: DeviceQP,
+    mesh: Optional[Mesh] = None,
+    axis: str = "batch",
+):
+    """Solve a stacked batch of problems; returns (prob_scaled, scale, state)
+    pytrees with a leading batch dimension.
+
+    With ``mesh``, the batch axis is sharded across devices (data parallel);
+    the per-device program is identical to the single-instance solve.
+    """
+    fn = jax.vmap(partial(driver.solve_device, cfg))
+    if mesh is not None:
+        sharding = NamedSharding(mesh, P(axis))
+        probs = jax.device_put(probs, sharding)
+        fn = jax.jit(fn, in_shardings=(sharding,), out_shardings=sharding)
+    else:
+        fn = jax.jit(fn)
+    return fn(probs)
+
+
+def batched_stats(
+    models: Sequence[QuadraticModel],
+    scale,
+    state: IPMState,
+    solver_time: float,
+) -> List[IPMStats]:
+    """Unpack a batched solve into per-instance IPMStats."""
+    out = []
+    for i, model in enumerate(models):
+        osc = float(scale.obj_scale[i])
+        m0, n0 = model.ncon, model.nvar
+        x = np.asarray(state.x[i])[:n0]
+        csc = np.asarray(scale.con_scale[i])[:m0]
+        out.append(
+            IPMStats(
+                status=Status(int(state.status[i])),
+                objective=float(state.obj_val[i]) / osc,
+                solution=x,
+                constraints=model.cons(x),
+                multipliers=np.asarray(state.y[i])[:m0] * csc / osc,
+                multipliers_L=np.asarray(state.zl[i])[:n0] / osc,
+                multipliers_U=np.asarray(state.zu[i])[:n0] / osc,
+                iter=int(state.k[i]),
+                primal_feas=float(state.inf_pr[i]),
+                dual_feas=float(state.inf_du[i]),
+                complementarity=float(state.inf_compl[i]),
+                total_time=solver_time,
+                solver_time=solver_time,
+            )
+        )
+    return out
+
+
+def madipm_batch(
+    models: Sequence[QuadraticModel],
+    mesh: Optional[Mesh] = None,
+    pad_multiple: int = 128,
+    dtype=jnp.float64,
+    **options,
+) -> List[IPMStats]:
+    """Solve many LP/QP instances in one sharded, vmapped device program."""
+    import time as _time
+
+    from ..api import _ensure_x64
+
+    _ensure_x64()
+    opt = load_options(**options)
+    probs, slacked = bucket_pad(models, pad_multiple=pad_multiple, dtype=dtype)
+    is_qp = probs.Q is not None
+    cfg = driver.make_config(opt, is_qp=is_qp, dtype=dtype)
+    t0 = _time.time()
+    _, scale, state = solve_batched(cfg, probs, mesh=mesh)
+    state = jax.tree_util.tree_map(lambda a: a.block_until_ready(), state)
+    wall = _time.time() - t0
+    return batched_stats(models, scale, state, wall)

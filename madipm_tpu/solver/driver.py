@@ -1,0 +1,554 @@
+"""Mehrotra predictor-corrector driver.
+
+Functional analogue of the reference's algorithm layer (reference:
+src/solver.jl): initialization (Mehrotra starting point), the MPC hot loop
+(factorize -> predictor -> Mehrotra corrector -> Gondzio corrections -> step
+rule -> apply), and termination/infeasibility/divergence detection.
+
+Two execution modes:
+- :func:`solve_device` — the whole solve is ONE jitted XLA program
+  (``lax.while_loop`` over :func:`iteration`); status/termination scalars
+  stay on device.  This is the benchmark path.
+- :func:`solve_logged` — per-iteration jit with a Python loop, enabling the
+  reference-style iteration log (src/structure.jl:180-197) and wall-time
+  checks (src/solver.jl:216).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..models.qp import DeviceQP
+from ..ops import kkt as kkt_ops
+from ..ops.kkt import KKTConfig
+from ..utils.options import (
+    AdaptiveRegularization,
+    AdaptiveStep,
+    ConservativeStep,
+    FixedRegularization,
+    IPMOptions,
+    KKTSystem,
+    MehrotraAdaptiveStep,
+    NoRegularization,
+    StepRuleKind,
+)
+from ..utils.status import Status
+from . import kernels as K
+from .state import IPMState, init_state
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Static (trace-time) solver configuration derived from IPMOptions."""
+
+    kkt: KKTConfig
+    tol: float
+    max_iter: int
+    divergence_tol: float
+    mu_init: float
+    mu_min: float
+    max_ncorr: int
+    s_max: float
+    scaling: bool
+    bound_push: float
+    bound_fac: float
+    bound_relax_factor: float
+    step_rule: object
+    regularization: object
+    check_residual: bool
+    tol_linear_solve: float
+
+
+def make_config(opt: IPMOptions, is_qp: bool, dtype=jnp.float64) -> SolverConfig:
+    kind = opt.resolved_kkt(is_qp)
+    if kind == KKTSystem.NORMAL and is_qp:
+        raise ValueError(
+            "NormalKKT supports only linear programs (reference: "
+            "src/KKT/normalkkt.jl:45-48); use kkt_system=AUGMENTED for QPs."
+        )
+    factor_dtype = jnp.dtype(opt.factor_dtype) if opt.factor_dtype else jnp.dtype(dtype)
+    # Refinement sweeps only pay off when the factor runs below the residual
+    # precision (fp32 factor + fp64 residuals); same-precision factors skip it.
+    refinement = opt.refinement_steps if factor_dtype != jnp.dtype(dtype) else 0
+    kcfg = KKTConfig(
+        kind=kind,
+        linear_solver=opt.resolved_linear_solver(kind),
+        factor_dtype=factor_dtype,
+        refinement_steps=refinement,
+        max_factor_trials=3,
+    )
+    return SolverConfig(
+        kkt=kcfg,
+        tol=opt.tol,
+        max_iter=opt.max_iter,
+        divergence_tol=opt.divergence_tol,
+        mu_init=opt.mu_init,
+        mu_min=opt.mu_min,
+        max_ncorr=opt.max_ncorr,
+        s_max=opt.s_max,
+        scaling=opt.scaling,
+        bound_push=opt.bound_push,
+        bound_fac=opt.bound_fac,
+        bound_relax_factor=opt.bound_relax_factor,
+        step_rule=opt.step_rule,
+        regularization=opt.regularization,
+        check_residual=opt.check_residual,
+        tol_linear_solve=opt.tol_linear_solve,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scaling (MadNLP.set_scaling! analogue; reference src/solver.jl:148-159)
+# ---------------------------------------------------------------------------
+
+
+class ScaleInfo(NamedTuple):
+    """Row/objective scaling factors applied to the device problem."""
+
+    obj_scale: jax.Array
+    con_scale: jax.Array
+
+
+def _apply_scaling(cfg: SolverConfig, prob: DeviceQP, x_init):
+    """Max-norm row scaling capped at s_max (MadNLP set_scaling! semantics:
+    scale = min(1, s_max / ||row||_inf)); objective likewise."""
+    one = jnp.asarray(1.0, prob.A.dtype)
+    if cfg.scaling:
+        row_norm = jnp.max(jnp.abs(prob.A), axis=1)
+        con_scale = jnp.where(
+            prob.row_mask, jnp.minimum(one, cfg.s_max / jnp.maximum(row_norm, 1e-30)), one
+        )
+        g0 = K.eval_grad(prob, x_init)
+        gnorm = jnp.max(jnp.where(prob.free_mask, jnp.abs(g0), 0.0))
+        obj_scale = jnp.minimum(one, cfg.s_max / jnp.maximum(gnorm, 1e-30))
+    else:
+        con_scale = jnp.ones_like(prob.b)
+        obj_scale = one
+    prob_s = dataclasses.replace(
+        prob,
+        A=prob.A * con_scale[:, None],
+        b=prob.b * con_scale,
+        c=prob.c * obj_scale,
+        c0=prob.c0 * obj_scale,
+        Q=None if prob.Q is None else prob.Q * obj_scale,
+    )
+    return prob_s, ScaleInfo(obj_scale, con_scale)
+
+
+# ---------------------------------------------------------------------------
+# Regularization policies (reference src/kernels.jl:360-401)
+# ---------------------------------------------------------------------------
+
+
+def _init_regularization(cfg: SolverConfig, dtype):
+    reg = cfg.regularization
+    one = jnp.asarray(1.0, dtype)
+    if isinstance(reg, NoRegularization):
+        return one, jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype)
+    if isinstance(reg, FixedRegularization):
+        return one, jnp.asarray(reg.delta_d, dtype), jnp.asarray(reg.delta_p, dtype), jnp.asarray(reg.delta_d, dtype)
+    if isinstance(reg, AdaptiveRegularization):
+        return one, jnp.asarray(reg.delta_d, dtype), jnp.asarray(reg.delta_p, dtype), jnp.asarray(reg.delta_d, dtype)
+    raise TypeError(f"unknown regularization {reg!r}")
+
+
+def _update_regularization(cfg: SolverConfig, state: IPMState):
+    reg = cfg.regularization
+    zero = jnp.zeros_like(state.del_w)
+    if isinstance(reg, NoRegularization):
+        return zero, zero, state.reg_p, state.reg_d
+    if isinstance(reg, FixedRegularization):
+        return (
+            jnp.asarray(reg.delta_p, state.del_w.dtype),
+            jnp.asarray(reg.delta_d, state.del_w.dtype),
+            state.reg_p,
+            state.reg_d,
+        )
+    if isinstance(reg, AdaptiveRegularization):
+        reg_p = jnp.maximum(state.reg_p / 10.0, reg.delta_min)
+        reg_d = jnp.minimum(state.reg_d / 10.0, -reg.delta_min)
+        return reg_p, reg_d, reg_p, reg_d
+    raise TypeError(f"unknown regularization {reg!r}")
+
+
+# ---------------------------------------------------------------------------
+# Initialization (reference initialize! + init_starting_point!,
+# src/solver.jl:1-189)
+# ---------------------------------------------------------------------------
+
+
+def initialize(cfg: SolverConfig, prob: DeviceQP) -> Tuple[DeviceQP, "ScaleInfo", IPMState]:
+    dtype = prob.A.dtype
+    n, m = prob.n, prob.m
+    free = prob.free_mask
+
+    # --- Bound relaxation (MadNLP.initialize! tol=bound_relax_factor)
+    brf = cfg.bound_relax_factor
+    lb = jnp.where(
+        free & jnp.isfinite(prob.lb),
+        prob.lb - brf * jnp.maximum(1.0, jnp.abs(prob.lb)),
+        prob.lb,
+    )
+    ub = jnp.where(
+        free & jnp.isfinite(prob.ub),
+        prob.ub + brf * jnp.maximum(1.0, jnp.abs(prob.ub)),
+        prob.ub,
+    )
+    prob = dataclasses.replace(prob, lb=lb, ub=ub)
+
+    # --- Push x0 strictly inside its bounds (Ipopt-style projection with
+    # kappa1=bound_push, kappa2=bound_fac; MadNLP.initialize!)
+    k1, k2 = cfg.bound_push, cfg.bound_fac
+    width = ub - lb
+    pl = jnp.minimum(k1 * jnp.maximum(1.0, jnp.abs(lb)), k2 * width)
+    pu = jnp.minimum(k1 * jnp.maximum(1.0, jnp.abs(ub)), k2 * width)
+    x = prob.x0
+    x = jnp.where(free & jnp.isfinite(lb), jnp.maximum(x, lb + pl), x)
+    x = jnp.where(free & jnp.isfinite(ub), jnp.minimum(x, ub - pu), x)
+    # Fixed/padded columns pinned to their (lower) bound value.
+    x = jnp.where(free, x, jnp.where(prob.col_mask, prob.lb, 0.0))
+    y = prob.y0
+
+    # --- Scaling (reference src/solver.jl:148-159)
+    prob_s, scale = _apply_scaling(cfg, prob, x)
+
+    # --- Initial regularization + gradient/norms
+    del_w, del_c, reg_p, reg_d = _init_regularization(cfg, dtype)
+    g0 = K.eval_grad(prob_s, x)
+    norm_b = jnp.max(jnp.where(prob_s.row_mask, jnp.abs(prob_s.b), 0.0))
+    norm_c = jnp.max(jnp.where(prob_s.free_mask, jnp.abs(g0), 0.0))
+
+    # --- Initial KKT factorization with Sigma = del_w (zl = zu = 0)
+    zeros_n = jnp.zeros(n, dtype)
+    factors, del_w, del_c, _ok = kkt_ops.factorize(
+        cfg.kkt, prob_s, x, zeros_n, zeros_n, del_w, del_c
+    )
+
+    # --- Step 1: x <- x + dx, dx least-squares solution of A dx = b - A x
+    rp = -K.eval_cons_residual(prob_s, x)
+    dx, _ = kkt_ops.solve_condensed(cfg.kkt, prob_s, factors, jnp.zeros(n, dtype), rp)
+    x = x + dx
+
+    # --- Step 2: y = least-squares solution of A' y = -grad
+    rx = jnp.where(prob_s.free_mask, -g0, 0.0)
+    _, dy = kkt_ops.solve_condensed(cfg.kkt, prob_s, factors, rx, jnp.zeros(m, dtype))
+    y = dy
+
+    # --- Step 3: bound multipliers from res = grad + A'y
+    res = g0 + K.eval_jty(prob_s, y)
+    both = jnp.isfinite(lb) & jnp.isfinite(ub)
+    zl = jnp.where(both, 0.5 * res, jnp.where(jnp.isfinite(lb), res, 0.0))
+    zu = jnp.where(both, -0.5 * res, jnp.where(jnp.isfinite(ub), -res, 0.0))
+    zl = jnp.where(prob.has_lb, zl, 0.0)
+    zu = jnp.where(prob.has_ub, zu, 0.0)
+
+    # --- Interiority shifts (reference src/solver.jl:68-99)
+    has_lb, has_ub = prob.has_lb, prob.has_ub
+    sl = jnp.where(has_lb, x - lb, jnp.inf)
+    su = jnp.where(has_ub, ub - x, jnp.inf)
+    min0 = lambda v: jnp.minimum(0.0, jnp.min(v))
+    delta_x = jnp.maximum(0.0, jnp.maximum(-1.5 * min0(sl), -1.5 * min0(su)))
+    delta_s = jnp.maximum(
+        0.0,
+        jnp.maximum(
+            -1.5 * min0(jnp.where(has_lb, zl, jnp.inf)),
+            -1.5 * min0(jnp.where(has_ub, zu, jnp.inf)),
+        ),
+    )
+    # x_lr += delta_x then x_ur -= delta_x: entries with both bounds cancel
+    # (the reference applies the shifts through overlapping views,
+    # src/solver.jl:80-81).
+    shift = delta_x * (has_lb.astype(dtype) - has_ub.astype(dtype))
+    x = x + shift
+    zl = jnp.where(has_lb, zl + 1.0 + delta_s, 0.0)
+    zu = jnp.where(has_ub, zu + 1.0 + delta_s, 0.0)
+
+    sl = jnp.where(has_lb, x - lb, 0.0)
+    su = jnp.where(has_ub, ub - x, 0.0)
+    mu_sum = jnp.sum(sl * zl) + jnp.sum(su * zu)
+    nz = jnp.sum(jnp.where(has_lb, zl, 0.0)) + jnp.sum(jnp.where(has_ub, zu, 0.0))
+    nsl = jnp.sum(sl) + jnp.sum(su)
+    # Guard the no-bounds case: the reference's 0/0 here lands on empty
+    # views and is a no-op (src/solver.jl:93-99); with masks a NaN*0 would
+    # poison x, so produce an explicit 0 shift instead.
+    delta_x2 = jnp.where(nz > 0, mu_sum / (2.0 * nz), 0.0)
+    delta_s2 = jnp.where(nsl > 0, mu_sum / (2.0 * nsl), 0.0)
+    x = x + delta_x2 * (has_lb.astype(dtype) - has_ub.astype(dtype))
+    zl = jnp.where(has_lb, zl + delta_s2, 0.0)
+    zu = jnp.where(has_ub, zu + delta_s2, 0.0)
+
+    # --- Ipopt projection heuristic back into [l, u]
+    # (reference src/solver.jl:101-118; note max(1, l) — not |l| — verbatim)
+    kappa = cfg.bound_fac
+    pl = jnp.minimum(kappa * jnp.maximum(1.0, lb), kappa * (ub - lb))
+    pu = jnp.minimum(kappa * jnp.maximum(1.0, ub), kappa * (ub - lb))
+    x_proj = jnp.where(x < lb, lb + pl, jnp.where(ub < x, ub - pu, x))
+    x = jnp.where(free, x_proj, x)
+
+    st = init_state(n, m, dtype)
+    st = st._replace(
+        x=x, y=y, zl=zl, zu=zu, lb=lb, ub=ub,
+        mu=jnp.asarray(cfg.mu_init, dtype),
+        del_w=del_w, del_c=del_c, reg_p=reg_p, reg_d=reg_d,
+        obj_val=K.eval_obj(prob_s, x),
+        norm_b=norm_b, norm_c=norm_c,
+        status=jnp.asarray(int(Status.REGULAR), jnp.int32),
+    )
+    return prob_s, scale, st
+
+
+# ---------------------------------------------------------------------------
+# Termination (reference update_termination_criteria!, src/solver.jl:194-222)
+# ---------------------------------------------------------------------------
+
+
+def update_termination(cfg: SolverConfig, prob: DeviceQP, state: IPMState) -> IPMState:
+    prob = dataclasses.replace(prob, lb=state.lb, ub=state.ub)
+    x, y, zl, zu = state.x, state.y, state.zl, state.zu
+    obj = K.eval_obj(prob, x)
+    dobj = K.dual_objective(prob, y, zl, zu)
+    inf_pr = K.primal_infeasibility(prob, x) / jnp.maximum(1.0, state.norm_b)
+    inf_du = K.dual_infeasibility(prob, x, y, zl, zu) / jnp.maximum(1.0, state.norm_c)
+    inf_compl = K.complementarity_inf(prob, x, zl, zu) / jnp.maximum(1.0, state.norm_c)
+    best = jnp.minimum(state.best_compl, inf_compl)
+
+    converged = jnp.maximum(jnp.maximum(inf_pr, inf_du), inf_compl) <= cfg.tol
+    infeasible = (inf_compl > cfg.divergence_tol * best) & (
+        dobj > jnp.maximum(10.0 * jnp.abs(obj), 1.0)
+    )
+    diverging = obj < -cfg.divergence_tol * jnp.maximum(
+        10.0, jnp.maximum(jnp.abs(dobj), 1.0)
+    )
+    max_iter = state.k >= cfg.max_iter
+
+    status = jnp.where(
+        converged,
+        int(Status.SOLVE_SUCCEEDED),
+        jnp.where(
+            infeasible,
+            int(Status.INFEASIBLE_PROBLEM_DETECTED),
+            jnp.where(
+                diverging,
+                int(Status.DIVERGING_ITERATES),
+                jnp.where(max_iter, int(Status.MAXIMUM_ITERATIONS_EXCEEDED), state.status),
+            ),
+        ),
+    ).astype(jnp.int32)
+    return state._replace(
+        obj_val=obj, inf_pr=inf_pr, inf_du=inf_du, inf_compl=inf_compl,
+        best_compl=best, status=status,
+    )
+
+
+# ---------------------------------------------------------------------------
+# One MPC iteration (reference mpc! loop body, src/solver.jl:332-360)
+# ---------------------------------------------------------------------------
+
+
+def iteration(cfg: SolverConfig, prob: DeviceQP, state: IPMState) -> IPMState:
+    # Use the state's working bounds (post adjust_boundary nudges).
+    prob = dataclasses.replace(prob, lb=state.lb, ub=state.ub)
+    x, y, zl, zu = state.x, state.y, state.zl, state.zu
+
+    # Factorize KKT system (reference factorize_system!, src/solver.jl:299-303)
+    del_w, del_c, reg_p, reg_d = _update_regularization(cfg, state)
+    factors, del_w, del_c, _ok = kkt_ops.factorize(
+        cfg.kkt, prob, x, zl, zu, del_w, del_c
+    )
+
+    solve = partial(kkt_ops.solve_condensed, cfg.kkt, prob, factors)
+
+    # Predictor (reference prediction_step!, src/solver.jl:230-237)
+    rhs_aff = K.predictor_rhs(prob, x, y, zl, zu)
+    dx, dy = solve(rhs_aff.rx, rhs_aff.rp)
+    dzl, dzu = K.recover_bound_duals(prob, x, zl, zu, rhs_aff, dx)
+
+    a_aff_p, a_aff_d = K.fraction_to_boundary(prob, x, zl, zu, dx, dzl, dzu, 1.0)
+    mu_aff = K.affine_complementarity_measure(
+        prob, x, zl, zu, dx, dzl, dzu, a_aff_p, a_aff_d
+    )
+    corr_l, corr_u = K.mehrotra_correction(prob, dx, dzl, dzu)
+    mu_new, mu_curr = K.mehrotra_barrier(prob, x, zl, zu, mu_aff, cfg.mu_min)
+
+    # Mehrotra corrector (reference mehrotra_correction_direction!)
+    rhs_c = K.corrector_rhs(prob, x, y, zl, zu, mu_new, corr_l, corr_u)
+    dx, dy = solve(rhs_c.rx, rhs_c.rp)
+    dzl, dzu = K.recover_bound_duals(prob, x, zl, zu, rhs_c, dx)
+
+    # Gondzio multiple centrality corrections (reference
+    # gondzio_correction_direction!, src/solver.jl:245-298), statically
+    # unrolled with a carried stop flag.
+    if cfg.max_ncorr > 0:
+        delta, gamma = 0.1, 0.1
+        beta_min, beta_max = 0.1, 10.0
+        tau_g = 0.995
+        alpha_p_g, alpha_d_g = K.fraction_to_boundary(
+            prob, x, zl, zu, dx, dzl, dzu, tau_g
+        )
+        stopped = jnp.asarray(False)
+        for _ in range(cfg.max_ncorr):
+            t_ap = jnp.minimum(alpha_p_g + delta, 1.0)
+            t_ad = jnp.minimum(alpha_d_g + delta, 1.0)
+            ga = K.affine_complementarity_measure(
+                prob, x, zl, zu, dx, dzl, dzu, t_ap, t_ad
+            )
+            mu_g = (ga / mu_curr) ** 2 * ga  # Eq. (12)
+            corr_l2, corr_u2 = K.gondzio_extra_correction(
+                prob, x, zl, zu, dx, dzl, dzu, corr_l, corr_u,
+                t_ap, t_ad, beta_min, beta_max, mu_g,
+            )
+            rhs_g = K.corrector_rhs(prob, x, y, zl, zu, mu_g, corr_l2, corr_u2)
+            dx2, dy2 = solve(rhs_g.rx, rhs_g.rp)
+            dzl2, dzu2 = K.recover_bound_duals(prob, x, zl, zu, rhs_g, dx2)
+            hat_ap, hat_ad = K.fraction_to_boundary(
+                prob, x, zl, zu, dx2, dzl2, dzu2, tau_g
+            )
+            # Reject when step sizes fail to grow (reference criterion,
+            # src/solver.jl:288) or the extra solve produced non-finite
+            # values (NaN alphas would otherwise compare False and slip
+            # through the reference's `<` test).
+            finite = (
+                jnp.all(jnp.isfinite(dx2))
+                & jnp.all(jnp.isfinite(dy2))
+                & jnp.isfinite(hat_ap)
+                & jnp.isfinite(hat_ad)
+            )
+            reject = (
+                (hat_ap < 1.005 * alpha_p_g)
+                | (hat_ad < 1.005 * alpha_d_g)
+                | ~finite
+            )
+            accept = (~stopped) & (~reject)
+            dx = jnp.where(accept, dx2, dx)
+            dy = jnp.where(accept, dy2, dy)
+            dzl = jnp.where(accept, dzl2, dzl)
+            dzu = jnp.where(accept, dzu2, dzu)
+            corr_l = jnp.where(accept, corr_l2, corr_l)
+            corr_u = jnp.where(accept, corr_u2, corr_u)
+            alpha_p_g = jnp.where(accept, hat_ap, alpha_p_g)
+            alpha_d_g = jnp.where(accept, hat_ad, alpha_d_g)
+            stopped = stopped | reject
+
+    # Step rule (reference update_step_size!, src/kernels.jl:291-358)
+    rule = cfg.step_rule
+    if isinstance(rule, ConservativeStep):
+        alpha_p, alpha_d = K.fraction_to_boundary(
+            prob, x, zl, zu, dx, dzl, dzu, rule.tau
+        )
+    elif isinstance(rule, AdaptiveStep):
+        tau = jnp.maximum(1.0 - mu_new, rule.tau_min)
+        alpha_p, alpha_d = K.fraction_to_boundary(
+            prob, x, zl, zu, dx, dzl, dzu, tau
+        )
+    elif isinstance(rule, MehrotraAdaptiveStep):
+        alpha_p, alpha_d = K.mehrotra_adaptive_step(
+            prob, x, zl, zu, dx, dzl, dzu, rule.gamma_f
+        )
+    else:
+        raise TypeError(f"unknown step rule {rule!r}")
+
+    # Apply step (reference apply_step!, src/solver.jl:308-317)
+    x = x + alpha_p * dx
+    y = y + alpha_d * dy
+    zl = jnp.where(prob.has_lb, zl + alpha_d * dzl, 0.0)
+    zu = jnp.where(prob.has_ub, zu + alpha_d * dzu, 0.0)
+
+    # Nudge bounds away from numerically-touched iterates
+    # (MadNLP.adjust_boundary!, reference src/solver.jl:313).
+    lb_new, ub_new = K.adjust_boundary(prob, x, mu_new)
+
+    # Numerical-failure detection: NaN anywhere in the new iterate maps to
+    # ERROR_IN_STEP_COMPUTATION (reference solve_system! NaN check +
+    # exception mapping, src/linear_solver.jl:40-42, src/solver.jl:396-397).
+    bad = ~(
+        jnp.all(jnp.isfinite(x))
+        & jnp.all(jnp.isfinite(y))
+        & jnp.all(jnp.isfinite(zl))
+        & jnp.all(jnp.isfinite(zu))
+    )
+    status = jnp.where(
+        bad, int(Status.ERROR_IN_STEP_COMPUTATION), state.status
+    ).astype(jnp.int32)
+
+    return state._replace(
+        x=x, y=y, zl=zl, zu=zu, lb=lb_new, ub=ub_new,
+        dx=dx, dy=dy, dzl=dzl, dzu=dzu,
+        mu=mu_new, mu_curr=mu_curr,
+        alpha_p=alpha_p, alpha_d=alpha_d,
+        del_w=del_w, del_c=del_c, reg_p=reg_p, reg_d=reg_d,
+        k=state.k + 1,
+        status=status,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Drivers
+# ---------------------------------------------------------------------------
+
+
+def _loop_body(cfg: SolverConfig, prob: DeviceQP, state: IPMState) -> IPMState:
+    state = update_termination(cfg, prob, state)
+    return lax.cond(
+        state.status == int(Status.REGULAR),
+        lambda s: iteration(cfg, prob, s),
+        lambda s: s,
+        state,
+    )
+
+
+def solve_device(cfg: SolverConfig, prob: DeviceQP) -> Tuple[DeviceQP, ScaleInfo, IPMState]:
+    """Whole solve as one traced program (jit-compatible)."""
+    prob_s, scale, state = initialize(cfg, prob)
+    state = lax.while_loop(
+        lambda s: s.status == int(Status.REGULAR),
+        lambda s: _loop_body(cfg, prob_s, s),
+        state,
+    )
+    return prob_s, scale, state
+
+
+def solve_logged(
+    cfg: SolverConfig,
+    prob: DeviceQP,
+    print_fn=print,
+    max_wall_time: float = 1e6,
+) -> Tuple[DeviceQP, ScaleInfo, IPMState]:
+    """Python-driven loop with the reference's per-iteration log
+    (src/structure.jl:180-197) and wall-time guard (src/solver.jl:216)."""
+    t0 = time.time()
+    init = jax.jit(partial(initialize, cfg))
+    term = jax.jit(partial(update_termination, cfg))
+    step = jax.jit(partial(iteration, cfg))
+
+    prob_s, scale, state = init(prob)
+    header = "iter    objective    inf_pr   inf_du lg(mu)  ||d||  lg(rg) alpha_du alpha_pr"
+    while True:
+        state = term(prob_s, state)
+        k = int(state.k)
+        if k % 10 == 0:
+            print_fn(header)
+        osc = float(scale.obj_scale)
+        dnorm = float(jnp.max(jnp.abs(state.dx))) if k > 0 else 0.0
+        dw = float(state.del_w)
+        lg_rg = "   - " if dw == 0 else f"{jnp.log10(dw):5.1f}"
+        print_fn(
+            f"{k:4d}  {float(state.obj_val)/osc: 10.7e} {float(state.inf_pr):6.2e} "
+            f"{float(state.inf_du):6.2e} {float(jnp.log10(jnp.maximum(state.mu, 1e-300))):5.1f} "
+            f"{dnorm:6.2e} {lg_rg} {float(state.alpha_d):6.2e} {float(state.alpha_p):6.2e}"
+        )
+        if int(state.status) != int(Status.REGULAR):
+            break
+        if time.time() - t0 >= max_wall_time:
+            state = state._replace(
+                status=jnp.asarray(int(Status.MAXIMUM_WALLTIME_EXCEEDED), jnp.int32)
+            )
+            break
+        state = step(prob_s, state)
+    return prob_s, scale, state

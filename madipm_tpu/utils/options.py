@@ -1,0 +1,231 @@
+"""Solver options.
+
+TPU-native analogue of ``IPMOptions`` (reference: src/utils.jl:69-119) plus the
+pluggable strategy objects (reference: src/utils.jl:1-48):
+
+- step rules: ``ConservativeStep`` / ``AdaptiveStep`` / ``MehrotraAdaptiveStep``
+- regularization: ``NoRegularization`` / ``FixedRegularization`` /
+  ``AdaptiveRegularization``
+- barrier update: ``Mehrotra``
+
+Strategies are plain frozen dataclasses; they are consumed as *static*
+configuration by the jitted step function (they select traced code paths, so a
+change of strategy retriggers compilation — the natural XLA analogue of Julia's
+dispatch-on-strategy-type).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional
+
+
+# ---------------------------------------------------------------------------
+# Strategy objects
+# ---------------------------------------------------------------------------
+
+
+class StepRuleKind(enum.Enum):
+    CONSERVATIVE = "conservative"
+    ADAPTIVE = "adaptive"
+    MEHROTRA_ADAPTIVE = "mehrotra_adaptive"
+
+
+@dataclasses.dataclass(frozen=True)
+class ConservativeStep:
+    """Fixed fraction-to-boundary factor tau (reference: src/utils.jl:19-21)."""
+
+    tau: float = 0.995
+    kind: StepRuleKind = StepRuleKind.CONSERVATIVE
+
+
+@dataclasses.dataclass(frozen=True)
+class AdaptiveStep:
+    """tau = max(1 - mu, tau_min) (reference: src/utils.jl:23-25, src/kernels.jl:299-305)."""
+
+    tau_min: float = 0.99
+    kind: StepRuleKind = StepRuleKind.ADAPTIVE
+
+
+@dataclasses.dataclass(frozen=True)
+class MehrotraAdaptiveStep:
+    """Mehrotra's boundary-point heuristic, Procedure GTSF
+    (reference: src/utils.jl:27-29, src/kernels.jl:307-358)."""
+
+    gamma_f: float = 0.99
+    kind: StepRuleKind = StepRuleKind.MEHROTRA_ADAPTIVE
+
+
+@dataclasses.dataclass(frozen=True)
+class NoRegularization:
+    """del_w = del_c = 0 in the loop (reference: src/kernels.jl:364-374)."""
+
+
+@dataclasses.dataclass(frozen=True)
+class FixedRegularization:
+    """Constant (delta_p, delta_d); delta_d is negative
+    (reference: src/utils.jl:39-42, src/kernels.jl:376-386)."""
+
+    delta_p: float = 1e-10
+    delta_d: float = 1e-10  # NOTE: applied with its own sign, like the reference
+
+    def __post_init__(self):
+        # The reference default is FixedRegularization(1e-10, 1e-10): the dual
+        # regularization enters the KKT matrix as `du_diag = del_c` directly.
+        pass
+
+
+@dataclasses.dataclass(frozen=True)
+class AdaptiveRegularization:
+    """Decay delta/10 each iteration down to delta_min
+    (reference: src/utils.jl:44-48, src/kernels.jl:388-401)."""
+
+    delta_p: float = 1e-8
+    delta_d: float = -1e-8
+    delta_min: float = 1e-9
+
+
+@dataclasses.dataclass(frozen=True)
+class Mehrotra:
+    """Mehrotra centering: sigma = clamp((mu_aff/mu)^3, 1e-6, 10)
+    (reference: src/utils.jl:10-11, src/kernels.jl:210-220)."""
+
+
+# ---------------------------------------------------------------------------
+# KKT-system / linear-solver selection
+# ---------------------------------------------------------------------------
+
+
+class KKTSystem(enum.Enum):
+    """Which linear-system formulation the solver factorizes each iteration.
+
+    - NORMAL: normal equations A Sigma^-1 A' (LP only), SPD of size m.
+      (reference: src/KKT/normalkkt.jl)
+    - AUGMENTED: K2 augmented system [Sigma+Q A'; A del_c], quasi-definite.
+      (reference: MadNLP.SparseKKTSystem selected via IPMOptions.kkt_system)
+    The TPU compute path is dense-blocked either way; sparse inputs are packed
+    on host (TPUs prefer big MXU matmuls over pointer chasing).
+    """
+
+    NORMAL = "normal"
+    AUGMENTED = "augmented"
+
+
+class LinearSolver(enum.Enum):
+    """Factorization backend for the KKT matrix.
+
+    - CHOLESKY: dense (blocked) Cholesky of the SPD normal matrix.
+    - LDL: dense unpivoted LDL' of the quasi-definite augmented matrix.
+    - LU: dense LU with partial pivoting (robust fallback).
+    Replaces the reference's pluggable direct solvers (cuDSS/Ma57/CHOLMOD/
+    LDLFactorizations/Lapack; reference: src/linear_solver.jl, src/utils.jl:54-62).
+    """
+
+    CHOLESKY = "cholesky"
+    LDL = "ldl"
+    LU = "lu"
+
+
+class PrintLevel(enum.IntEnum):
+    """Mirror of MadNLP log levels (reference: src/utils.jl:75-76)."""
+
+    TRACE = 1
+    DEBUG = 2
+    INFO = 3
+    NOTICE = 4
+    WARN = 5
+    ERROR = 6
+
+
+# ---------------------------------------------------------------------------
+# IPMOptions
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class IPMOptions:
+    """Options for the Mehrotra predictor-corrector solver.
+
+    Field-for-field capability match with the reference ``IPMOptions``
+    (src/utils.jl:69-105); defaults follow the reference.
+    """
+
+    # Main options
+    tol: float = 1e-8
+    kkt_system: Optional[KKTSystem] = None  # None = auto (NORMAL for LP, AUGMENTED for QP)
+    linear_solver: Optional[LinearSolver] = None  # None = auto from kkt_system
+
+    # Output options
+    output_file: str = ""
+    print_level: PrintLevel = PrintLevel.INFO
+    file_print_level: PrintLevel = PrintLevel.INFO
+    rethrow_error: bool = False
+
+    # Termination options
+    max_iter: int = 3000
+    max_wall_time: float = 1e6
+    divergence_tol: float = 1e4
+    kappa_d: float = 1e-5
+
+    # Initialization options
+    scaling: bool = True
+    bound_push: float = 1e-2
+    bound_fac: float = 1e-2
+    bound_relax_factor: float = 1e-12
+
+    # Regularization
+    regularization: object = dataclasses.field(
+        default_factory=lambda: FixedRegularization(1e-10, 1e-10)
+    )
+
+    # Step
+    step_rule: object = dataclasses.field(default_factory=lambda: AdaptiveStep(0.99))
+
+    # Barrier
+    barrier_update: object = dataclasses.field(default_factory=Mehrotra)
+    max_ncorr: int = 0  # Gondzio multiple centrality corrections
+    s_max: float = 100.0
+    mu_init: float = 1e-1
+    mu_min: float = 1e-12
+    mu_superlinear_decrease_power: float = 1.5
+    tau_min: float = 0.99
+
+    # Linear solve
+    tol_linear_solve: float = 1e-8
+    check_residual: bool = False
+    #: number of fp64 iterative-refinement sweeps after each fp32 factor-solve
+    #: on TPU (0 disables; load-bearing for reaching tol=1e-8 with an MXU
+    #: fp32 factorization — see ops/refine.py).
+    refinement_steps: int = 2
+
+    # Compute dtype of the factorization ("float64" on CPU tests; "float32"
+    # + refinement on TPU). None = pick by backend.
+    factor_dtype: Optional[str] = None
+
+    def resolved_kkt(self, is_qp: bool) -> KKTSystem:
+        if self.kkt_system is not None:
+            return self.kkt_system
+        return KKTSystem.AUGMENTED if is_qp else KKTSystem.NORMAL
+
+    def resolved_linear_solver(self, kkt: KKTSystem) -> LinearSolver:
+        if self.linear_solver is not None:
+            return self.linear_solver
+        return LinearSolver.CHOLESKY if kkt == KKTSystem.NORMAL else LinearSolver.LDL
+
+
+def load_options(**kwargs) -> IPMOptions:
+    """Build IPMOptions from keyword arguments, warning on unknown keys.
+
+    Mirrors the reference two-stage option routing (src/utils.jl:121-148):
+    unknown keys are reported rather than raising, so callers can pass a
+    superset of options.
+    """
+    known = {f.name for f in dataclasses.fields(IPMOptions)}
+    opts = {k: v for k, v in kwargs.items() if k in known}
+    ignored = {k: v for k, v in kwargs.items() if k not in known}
+    if ignored:
+        import warnings
+
+        warnings.warn(f"Ignoring unsupported options: {sorted(ignored)}")
+    return IPMOptions(**opts)

@@ -1,0 +1,221 @@
+"""Tests of the problem layer: MPS reader, Ruiz scaling, presolve,
+standard-form / slack-form transformations.
+
+Reference analogues: import_mps (scripts/common.jl:21-36), scale_qp
+(scripts/common.jl:57-100), presolve_qp + standard_form_qp tests
+(test/runtests.jl:154-164).
+"""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+import madipm_tpu as mt
+from madipm_tpu.models.mps import parse_mps, read_mps
+from madipm_tpu.models.presolve import presolve_qp
+from madipm_tpu.models.scale import ruiz_scale_dense, scale_qp
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+class TestMPSReader:
+    def test_parse_simple(self):
+        qp = read_mps(os.path.join(DATA, "simple.mps"))
+        assert qp.name == "SIMPLE"
+        assert qp.nvar == 3 and qp.ncon == 4
+        x_names_obj = qp.c
+        assert np.allclose(x_names_obj, [1.0, 2.0, 3.0])
+        assert qp.c0 == -1.0  # objective RHS enters negated
+        # Row types
+        assert qp.lcon[0] == qp.ucon[0] == 10.0  # E
+        assert qp.ucon[1] == 15.0 and qp.lcon[1] == -np.inf  # L
+        assert qp.lcon[2] == 5.0 and qp.ucon[2] == np.inf  # G
+        # Ranged L row: [ucon - |R|, ucon]
+        assert qp.ucon[3] == 8.0 and qp.lcon[3] == 2.0
+        # Bounds
+        assert qp.lvar[0] == 0.0 and qp.uvar[0] == 6.0
+        assert qp.lvar[1] == -2.0 and qp.uvar[1] == np.inf
+        assert qp.lvar[2] == -np.inf and qp.uvar[2] == np.inf
+        # Matrix entries
+        A = qp.A.toarray()
+        assert np.allclose(A[0], [1, 1, 0])
+        assert np.allclose(A[3], [1, -1, 1])
+
+    def test_gzip_roundtrip(self, tmp_path):
+        src = open(os.path.join(DATA, "simple.mps"), "rb").read()
+        gz = tmp_path / "simple.mps.gz"
+        gz.write_bytes(gzip.compress(src))
+        qp = read_mps(str(gz))
+        assert qp.nvar == 3 and qp.ncon == 4
+
+    def test_solve_parsed_lp(self):
+        qp = read_mps(os.path.join(DATA, "simple.mps"))
+        stats = mt.madipm(qp, print_level=mt.PrintLevel.ERROR)
+        assert stats.success
+        from scipy.optimize import linprog
+
+        bounds = [(0, 6), (-2, None), (None, None)]
+        res = linprog(
+            qp.c,
+            A_ub=np.vstack([qp.A.toarray()[1], -qp.A.toarray()[2],
+                            qp.A.toarray()[3], -qp.A.toarray()[3]]),
+            b_ub=[15.0, -5.0, 8.0, -2.0],
+            A_eq=qp.A.toarray()[:1],
+            b_eq=[10.0],
+            bounds=bounds,
+            method="highs",
+        )
+        assert stats.objective == pytest.approx(res.fun + qp.c0, abs=1e-6)
+
+    def test_parse_qps(self):
+        qp = read_mps(os.path.join(DATA, "simple_qp.qps"))
+        assert qp.is_qp
+        Q = qp.Q.toarray()
+        assert np.allclose(Q, [[2.0, -1.0], [-1.0, 4.0]])  # symmetrized
+        stats = mt.madipm(qp, print_level=mt.PrintLevel.ERROR)
+        assert stats.success
+        # Optimum of min -2x-6y + 1/2(2x^2-2xy+4y^2) s.t. x+y<=2, x,y>=0
+        # (verified with scipy.optimize.minimize): x=(0.75, 1.25), obj=-6.25.
+        assert np.allclose(stats.solution, [0.75, 1.25], atol=1e-5)
+        assert stats.objective == pytest.approx(-6.25, abs=1e-6)
+
+    def test_integer_relaxation(self):
+        text = """NAME T
+ROWS
+ N obj
+ G c1
+COLUMNS
+    MARKER    'MARKER'    'INTORG'
+    x  obj  1.0  c1  1.0
+    MARKER    'MARKER'    'INTEND'
+    y  obj  1.0  c1  1.0
+RHS
+    rhs c1 1.5
+ENDATA
+"""
+        qp = parse_mps(text.splitlines())
+        assert qp._integer_cols == [0]
+        stats = mt.madipm(qp, print_level=mt.PrintLevel.ERROR)
+        assert stats.success
+        assert stats.objective == pytest.approx(1.5, abs=1e-6)  # LP relaxation
+
+
+class TestRuiz:
+    def test_equilibrates(self, rng):
+        A = rng.standard_normal((20, 30)) * np.exp(rng.uniform(-5, 5, (20, 1)))
+        import scipy.sparse as sp
+
+        qp = mt.from_dense(
+            c=rng.random(30), A=A, lcon=np.zeros(20), ucon=np.zeros(20),
+            lvar=np.zeros(30), uvar=np.full(30, np.inf),
+        )
+        scaled, sc = scale_qp(qp)
+        As = abs(scaled.A.toarray())
+        assert As.max(axis=1).max() < 3.0
+        assert As.max(axis=1).min() > 0.3
+        # Reconstruction: A = Dr * A_s * Dc
+        rec = sc.Dr[:, None] * scaled.A.toarray() * sc.Dc[None, :]
+        assert np.allclose(rec, A)
+
+    def test_solution_invariance(self, rng):
+        from tests.conftest import random_lp, scipy_linprog
+
+        c, A, b, lvar, uvar = random_lp(rng, 25, 8, seed=31)
+        A = A * np.exp(rng.uniform(-3, 3, (8, 1)))  # badly scaled rows
+        b = A @ (rng.random(25) + 0.5)
+        qp = mt.from_dense(c=c, A=A, lcon=b, ucon=b, lvar=lvar, uvar=uvar)
+        scaled, sc = scale_qp(qp)
+        stats = mt.madipm(scaled, print_level=mt.PrintLevel.ERROR)
+        assert stats.success
+        x = sc.unscale_solution(x=stats.solution)
+        ref = scipy_linprog(c, A, b, lvar, uvar)
+        assert c @ x == pytest.approx(ref.fun, abs=1e-5)
+        assert np.allclose(A @ x, b, atol=1e-6)
+
+    def test_dense_jax_ruiz(self, rng):
+        import jax.numpy as jnp
+
+        A = jnp.asarray(rng.standard_normal((16, 24)) * 100.0)
+        B, dr, dc = ruiz_scale_dense(A)
+        assert float(jnp.max(jnp.abs(B))) < 3.0
+        rec = dr[:, None] * B * dc[None, :]
+        assert np.allclose(np.asarray(rec), np.asarray(A), rtol=1e-10)
+
+
+class TestPresolve:
+    def test_flag_true_simple(self):
+        from tests.test_solver import simple_lp
+
+        qp = simple_lp()
+        red, flag, post = presolve_qp(qp)
+        assert flag
+
+    def test_fixed_variable_elimination(self):
+        qp = mt.from_dense(
+            c=[1.0, 2.0, 3.0],
+            A=[[1.0, 1.0, 1.0], [0.0, 1.0, -1.0]],
+            lcon=[4.0, 0.0],
+            ucon=[4.0, 1.0],
+            lvar=[2.0, 0.0, 0.0],
+            uvar=[2.0, np.inf, np.inf],
+        )
+        red, flag, post = presolve_qp(qp)
+        assert flag
+        assert red.nvar == 2  # x1 eliminated
+        stats = mt.madipm(red, print_level=mt.PrintLevel.ERROR)
+        assert stats.success
+        x_full = post.x(stats.solution)
+        assert x_full[0] == 2.0
+        assert x_full[1] + x_full[2] == pytest.approx(2.0, abs=1e-6)
+
+    def test_cascading_full_solve(self):
+        # Fixed variable triggers singleton cascades that solve the whole
+        # problem: flag=False + PRESOLVE_SOLVED (reference flag semantics,
+        # src/utils.jl:338-342).
+        qp = mt.from_dense(
+            c=[1.0, 2.0, 3.0],
+            A=[[1.0, 1.0, 0.0], [0.0, 1.0, 1.0]],
+            lcon=[4.0, 5.0],
+            ucon=[4.0, 5.0],
+            lvar=[2.0, 0.0, 0.0],
+            uvar=[2.0, np.inf, np.inf],
+        )
+        red, flag, post = presolve_qp(qp)
+        assert not flag
+        assert post.status == mt.Status.PRESOLVE_SOLVED
+        x_full = post.x(np.zeros(0)) if post.keep_cols.size == 0 else post.fixed_vals
+        assert np.allclose(x_full, [2.0, 2.0, 3.0])
+        assert np.allclose(qp.A @ x_full, [4.0, 5.0])
+
+    def test_singleton_row(self):
+        qp = mt.from_dense(
+            c=[1.0, 1.0],
+            A=[[2.0, 0.0], [1.0, 1.0]],
+            lcon=[-np.inf, 3.0],
+            ucon=[4.0, 3.0],
+            lvar=[0.0, 0.0],
+            uvar=[np.inf, np.inf],
+        )
+        red, flag, post = presolve_qp(qp)
+        assert flag
+        assert red.ncon == 1  # singleton row folded into x1 <= 2
+        assert red.uvar[0] == 2.0
+
+    def test_infeasible_bounds(self):
+        qp = mt.from_dense(
+            c=[1.0], A=[[1.0]], lcon=[0.0], ucon=[1.0], lvar=[3.0], uvar=[2.0]
+        )
+        red, flag, post = presolve_qp(qp)
+        assert not flag
+        assert post.status == mt.Status.PRESOLVE_INFEASIBLE
+
+    def test_unbounded_empty_column(self):
+        qp = mt.from_dense(
+            c=[0.0, -1.0], A=[[1.0, 0.0]], lcon=[1.0], ucon=[1.0],
+            lvar=[0.0, 0.0], uvar=[np.inf, np.inf],
+        )
+        red, flag, post = presolve_qp(qp)
+        assert not flag
+        assert post.status == mt.Status.PRESOLVE_UNBOUNDED

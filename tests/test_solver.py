@@ -1,0 +1,315 @@
+"""Differential/oracle tests of the MPC solver.
+
+Replicates the reference's test strategy (test/runtests.jl): solve the same
+problems with a trusted oracle (scipy HiGHS, playing MadNLP's role,
+test/runtests.jl:10-27) and assert matching status/objective/solution; sweep
+the strategy objects (step rules, regularizations, KKT systems,
+test/runtests.jl:85-140); exercise the simple LP end-to-end
+(test/runtests.jl:144-198).
+"""
+
+import numpy as np
+import pytest
+
+import madipm_tpu as mt
+from tests.conftest import random_lp, scipy_linprog
+
+
+def _solve(qp, **opts):
+    opts.setdefault("print_level", mt.PrintLevel.ERROR)
+    return mt.madipm(qp, **opts)
+
+
+def simple_lp():
+    """2-var LP from the reference tests (test/runtests.jl:29-60)."""
+    return mt.from_dense(
+        c=[1.0, 1.0],
+        A=[[1.0, 1.0]],
+        lcon=[1.0],
+        ucon=[1.0],
+        lvar=[0.0, 0.0],
+        uvar=[np.inf, np.inf],
+        x0=[1.0, 1.0],
+        name="simpleLP",
+    )
+
+
+def _compare_with_oracle(c, A, b, lvar, uvar, atol=1e-5, **opts):
+    qp = mt.from_dense(c=c, A=A, lcon=b, ucon=b, lvar=lvar, uvar=uvar)
+    stats = _solve(qp, **opts)
+    ref = scipy_linprog(c, A, b, lvar, uvar)
+    assert ref.status == 0, "oracle failed"
+    assert stats.success, stats.message()
+    assert stats.objective == pytest.approx(ref.fun, abs=atol)
+    # Solution may be non-unique; check feasibility + objective instead of x.
+    assert np.allclose(A @ stats.solution, b, atol=1e-6)
+    assert np.all(stats.solution >= lvar - 1e-6)
+    assert np.all(stats.solution <= uvar + 1e-6)
+    return stats
+
+
+class TestSimpleLP:
+    def test_solve(self):
+        stats = _solve(simple_lp())
+        assert stats.success
+        assert stats.objective == pytest.approx(1.0, abs=1e-8)
+        assert np.allclose(stats.solution, [0.5, 0.5], atol=1e-6)
+        assert stats.multipliers[0] == pytest.approx(-1.0, abs=1e-6)
+
+    def test_no_regularization(self):
+        stats = _solve(simple_lp(), regularization=mt.NoRegularization())
+        assert stats.success
+        assert stats.objective == pytest.approx(1.0, abs=1e-8)
+
+    def test_kkt_residual_of_solution(self):
+        """Returned triple (x, y, zl) satisfies stationarity of the input
+        problem — validates multiplier unscaling."""
+        qp = simple_lp()
+        stats = _solve(qp)
+        r_d = qp.c + qp.A.T @ stats.multipliers - stats.multipliers_L + stats.multipliers_U
+        assert np.max(np.abs(r_d)) < 1e-6
+
+
+class TestRandomLPs:
+    @pytest.mark.parametrize("n,m", [(10, 3), (30, 10), (80, 25)])
+    def test_oracle_match(self, rng, n, m):
+        c, A, b, lvar, uvar = random_lp(rng, n, m, seed=n * 100 + m)
+        _compare_with_oracle(c, A, b, lvar, uvar)
+
+    def test_gondzio_corrections(self, rng):
+        c, A, b, lvar, uvar = random_lp(rng, 40, 15, seed=7)
+        s0 = _compare_with_oracle(c, A, b, lvar, uvar, max_ncorr=0)
+        s5 = _compare_with_oracle(c, A, b, lvar, uvar, max_ncorr=5)
+        assert s5.iter <= s0.iter + 2  # corrections shouldn't hurt much
+
+    def test_free_variables(self, rng):
+        # x2 free: min x1 + x2 s.t. x1 - x2 = 1, x1 + x2 = 3
+        qp = mt.from_dense(
+            c=[1.0, 1.0],
+            A=[[1.0, -1.0], [1.0, 1.0]],
+            lcon=[1.0, 3.0],
+            ucon=[1.0, 3.0],
+            lvar=[0.0, -np.inf],
+            uvar=[np.inf, np.inf],
+        )
+        stats = _solve(qp)
+        assert stats.success
+        assert np.allclose(stats.solution, [2.0, 1.0], atol=1e-6)
+
+    def test_fixed_variables(self):
+        # x1 fixed at 2: min x1 + x2 s.t. x1 + x2 = 5
+        qp = mt.from_dense(
+            c=[1.0, 1.0],
+            A=[[1.0, 1.0]],
+            lcon=[5.0],
+            ucon=[5.0],
+            lvar=[2.0, 0.0],
+            uvar=[2.0, np.inf],
+        )
+        stats = _solve(qp)
+        assert stats.success
+        assert stats.solution[0] == pytest.approx(2.0, abs=1e-9)
+        assert stats.solution[1] == pytest.approx(3.0, abs=1e-6)
+
+    def test_inequality_constraints(self, rng):
+        # General two-sided rows exercised through slack_form.
+        n, m = 20, 8
+        A = rng.standard_normal((m, n))
+        x_int = rng.random(n) + 0.5
+        mid = A @ x_int
+        lcon = mid - rng.random(m)
+        ucon = mid + rng.random(m)
+        c = rng.random(n) + 0.1
+        qp = mt.from_dense(
+            c=c, A=A, lcon=lcon, ucon=ucon, lvar=np.zeros(n), uvar=np.full(n, np.inf)
+        )
+        stats = _solve(qp)
+        assert stats.success
+        from scipy.optimize import linprog
+
+        res = linprog(
+            c,
+            A_ub=np.vstack([A, -A]),
+            b_ub=np.concatenate([ucon, -lcon]),
+            bounds=[(0, None)] * n,
+            method="highs",
+        )
+        assert stats.objective == pytest.approx(res.fun, abs=1e-5)
+
+    def test_upper_bounded_lp(self, rng):
+        c, A, b, lvar, uvar = random_lp(rng, 25, 10, upper_frac=1.0, seed=3)
+        _compare_with_oracle(c, A, b, lvar, uvar)
+
+    def test_maximize(self):
+        qp = mt.from_dense(
+            c=[-1.0, -2.0],
+            A=[[1.0, 1.0]],
+            lcon=[-np.inf],
+            ucon=[4.0],
+            lvar=[0.0, 0.0],
+            uvar=[np.inf, np.inf],
+            minimize=False,
+        )
+        # max -x1 - 2x2 s.t. x1+x2 <= 4, x >= 0 -> optimum at origin, obj 0
+        stats = _solve(qp)
+        assert stats.success
+        assert stats.objective == pytest.approx(0.0, abs=1e-6)
+
+
+class TestStepRules:
+    """Reference: test/runtests.jl:85-97."""
+
+    @pytest.mark.parametrize(
+        "rule",
+        [
+            mt.AdaptiveStep(0.99),
+            mt.ConservativeStep(0.99),
+            mt.MehrotraAdaptiveStep(0.99),
+        ],
+        ids=["adaptive", "conservative", "mehrotra_adaptive"],
+    )
+    def test_rule(self, rng, rule):
+        c, A, b, lvar, uvar = random_lp(rng, 30, 10, seed=11)
+        qp = mt.from_dense(c=c, A=A, lcon=b, ucon=b, lvar=lvar, uvar=uvar)
+        stats = _solve(qp, step_rule=rule)
+        assert stats.success
+        ref = scipy_linprog(c, A, b, lvar, uvar)
+        assert stats.objective == pytest.approx(ref.fun, abs=1e-5)
+
+
+class TestRegularization:
+    """Reference: test/runtests.jl:122-140."""
+
+    @pytest.mark.parametrize(
+        "reg",
+        [
+            mt.FixedRegularization(1e-8, -1e-9),
+            mt.AdaptiveRegularization(1e-8, -1e-9, 1e-9),
+            mt.NoRegularization(),
+        ],
+        ids=["fixed", "adaptive", "none"],
+    )
+    def test_reg(self, rng, reg):
+        c, A, b, lvar, uvar = random_lp(rng, 30, 10, seed=13)
+        qp = mt.from_dense(c=c, A=A, lcon=b, ucon=b, lvar=lvar, uvar=uvar)
+        ref_stats = _solve(qp, regularization=mt.NoRegularization())
+        stats = _solve(qp, regularization=reg)
+        assert stats.success
+        assert stats.objective == pytest.approx(ref_stats.objective, abs=1e-6)
+
+
+class TestKKTSystems:
+    """Augmented (K2) agrees with the condensed NORMAL path on LPs
+    (reference analogue: K2.5 vs default, test/runtests.jl:107-120)."""
+
+    def test_augmented_matches_normal(self, rng):
+        c, A, b, lvar, uvar = random_lp(rng, 30, 10, seed=17)
+        qp = mt.from_dense(c=c, A=A, lcon=b, ucon=b, lvar=lvar, uvar=uvar)
+        s_norm = _solve(qp, kkt_system=mt.KKTSystem.NORMAL)
+        s_aug = _solve(qp, kkt_system=mt.KKTSystem.AUGMENTED)
+        assert s_norm.success and s_aug.success
+        assert s_aug.objective == pytest.approx(s_norm.objective, abs=1e-7)
+        assert s_aug.iter == s_norm.iter  # same math, different factorization
+
+    def test_normal_rejects_qp(self, rng):
+        n = 5
+        Q = np.eye(n)
+        qp = mt.from_dense(
+            c=np.ones(n), A=np.ones((1, n)), lcon=[1.0], ucon=[1.0],
+            lvar=np.zeros(n), uvar=np.full(n, np.inf), Q=Q,
+        )
+        with pytest.raises(ValueError, match="linear programs"):
+            mt.MPCSolver(qp, kkt_system=mt.KKTSystem.NORMAL)
+
+
+class TestQP:
+    def test_simple_qp(self):
+        # min 1/2 (x1^2 + x2^2) s.t. x1 + x2 = 2 -> x = (1, 1), obj = 1
+        qp = mt.from_dense(
+            c=[0.0, 0.0], Q=np.eye(2), A=[[1.0, 1.0]], lcon=[2.0], ucon=[2.0],
+            lvar=[-np.inf, -np.inf], uvar=[np.inf, np.inf],
+        )
+        stats = _solve(qp)
+        assert stats.success
+        assert np.allclose(stats.solution, [1.0, 1.0], atol=1e-6)
+        assert stats.objective == pytest.approx(1.0, abs=1e-7)
+
+    def test_bounded_qp(self, rng):
+        n, m = 12, 4
+        M = rng.standard_normal((n, n))
+        Q = M @ M.T + np.eye(n)
+        A = rng.standard_normal((m, n))
+        xstar = rng.random(n)
+        b = A @ xstar
+        c = rng.standard_normal(n)
+        qp = mt.from_dense(
+            c=c, Q=Q, A=A, lcon=b, ucon=b, lvar=np.zeros(n), uvar=np.full(n, np.inf)
+        )
+        stats = _solve(qp)
+        assert stats.success
+        # Oracle: scipy solves the KKT conditions via active-set on the dual? Use
+        # cvx-style check: projected-gradient optimality via KKT residual.
+        x, y, zl = stats.solution, stats.multipliers, stats.multipliers_L
+        r_d = c + Q @ x + A.T @ y - zl
+        assert np.max(np.abs(r_d)) < 1e-6
+        assert np.allclose(A @ x, b, atol=1e-6)
+        assert np.all(x >= -1e-8)
+        assert np.max(np.abs(x * zl)) < 1e-6  # complementarity
+
+
+class TestInfeasibleUnbounded:
+    def test_unbounded(self):
+        # min -x1, x1 free-ish upward: x1 - x2 = 0, x >= 0 unbounded
+        qp = mt.from_dense(
+            c=[-1.0, 0.0], A=[[1.0, -1.0]], lcon=[0.0], ucon=[0.0],
+            lvar=[0.0, 0.0], uvar=[np.inf, np.inf],
+        )
+        stats = _solve(qp)
+        assert stats.status in (
+            mt.Status.DIVERGING_ITERATES,
+            mt.Status.INFEASIBLE_PROBLEM_DETECTED,
+            mt.Status.MAXIMUM_ITERATIONS_EXCEEDED,
+        )
+        assert not stats.success
+
+    def test_infeasible(self):
+        # x1 + x2 = -1 with x >= 0 is infeasible
+        qp = mt.from_dense(
+            c=[1.0, 1.0], A=[[1.0, 1.0]], lcon=[-1.0], ucon=[-1.0],
+            lvar=[0.0, 0.0], uvar=[np.inf, np.inf],
+        )
+        stats = _solve(qp)
+        assert not stats.success
+
+
+class TestTransformations:
+    """Reference: test/runtests.jl:154-164."""
+
+    def test_standard_form_objective(self, rng):
+        n, m = 15, 6
+        A = rng.standard_normal((m, n))
+        x_int = rng.random(n) + 0.5
+        mid = A @ x_int
+        qp = mt.from_dense(
+            c=rng.random(n) + 0.1,
+            A=A,
+            lcon=mid - rng.random(m),
+            ucon=mid + rng.random(m),
+            lvar=np.zeros(n),
+            uvar=np.where(rng.random(n) < 0.5, 2.0, np.inf),
+        )
+        ref_stats = _solve(qp)
+        sf = mt.standard_form(qp)
+        assert np.all(sf.lcon == sf.ucon)  # equality-only
+        stats = _solve(sf)
+        assert stats.success
+        assert stats.objective == pytest.approx(ref_stats.objective, abs=1e-6)
+
+    def test_padding_invariance(self, rng):
+        c, A, b, lvar, uvar = random_lp(rng, 10, 4, seed=23)
+        qp = mt.from_dense(c=c, A=A, lcon=b, ucon=b, lvar=lvar, uvar=uvar)
+        s64 = _solve(qp)  # default pad 128
+        solver = mt.MPCSolver(qp, pad_multiple=256, print_level=mt.PrintLevel.ERROR)
+        s256 = solver.solve()
+        assert s256.iter == s64.iter
+        assert s256.objective == pytest.approx(s64.objective, abs=1e-9)
