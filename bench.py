@@ -1,0 +1,164 @@
+"""Benchmark: IPM throughput on TPU vs reference-style CPU solve.
+
+Protocol mirrors the reference benchmark harness (BASELINE.md,
+scripts/benchmarks_gpu.jl:13-65): generate a suite of standard-form LPs at
+Netlib scale, run presolve -> scaling -> standard form -> solve with
+tol=1e-8, FixedRegularization(1e-8, -1e-8), max_iter=300, and record
+per-instance status/iterations/objective/time.
+
+Headline metric: total IPM iterations per second across the suite —
+TPU path = all instances vmapped in ONE device program on one chip;
+baseline = scipy HiGHS IPM (a production CPU interior-point solver, playing
+the reference's CPU/Ma57 role) solving the same instances serially.
+
+Prints ONE JSON line to stdout:
+  {"metric": ..., "value": ..., "unit": "iter/s", "vs_baseline": ...}
+Diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_suite(k=16, n=384, m=192, density=0.3, seed0=1234):
+    """Random sparse standard-form-ish LPs, feasible by construction."""
+    import madipm_tpu as mt
+
+    models = []
+    for i in range(k):
+        rng = np.random.default_rng(seed0 + i)
+        A = rng.standard_normal((m, n)) * (rng.random((m, n)) < density)
+        # keep rows nonempty
+        empty = np.flatnonzero(np.abs(A).sum(axis=1) == 0)
+        for r in empty:
+            A[r, rng.integers(n)] = 1.0
+        xstar = rng.random(n) + 0.5
+        b = A @ xstar
+        c = rng.random(n) + 0.1
+        uvar = np.full(n, np.inf)
+        ub_idx = rng.random(n) < 0.25
+        uvar[ub_idx] = xstar[ub_idx] + 3 * rng.random(ub_idx.sum())
+        models.append(
+            mt.from_dense(
+                c=c, A=A, lcon=b, ucon=b, lvar=np.zeros(n), uvar=uvar,
+                name=f"synth{i}",
+            )
+        )
+    return models
+
+
+def bench_tpu(models, opts):
+    """Vmapped single-program solve of the whole suite; returns
+    (iters_total, wall_seconds, stats_list). Compile excluded via warmup."""
+    from madipm_tpu.parallel.batch import bucket_pad, solve_batched, batched_stats
+    from madipm_tpu.solver import driver
+    from madipm_tpu.utils.options import load_options
+
+    opt = load_options(**opts)
+    probs, slacked = bucket_pad(models)
+    cfg = driver.make_config(opt, is_qp=False)
+
+    # Warmup/compile
+    t0 = time.time()
+    _, scale, state = solve_batched(cfg, probs)
+    jax.block_until_ready(state.k)
+    compile_and_first = time.time() - t0
+    log(f"tpu: first run (incl compile) {compile_and_first:.1f}s")
+
+    # Timed run
+    t0 = time.time()
+    _, scale, state = solve_batched(cfg, probs)
+    jax.block_until_ready(state.k)
+    wall = time.time() - t0
+    stats = batched_stats(models, scale, state, wall)
+    iters = int(np.sum(np.asarray(state.k)))
+    return iters, wall, stats
+
+
+def bench_cpu_baseline(models):
+    """HiGHS IPM on the same instances, serially (reference CPU role)."""
+    from scipy.optimize import linprog
+
+    total_iters = 0
+    total_time = 0.0
+    objs = []
+    for mdl in models:
+        bounds = [
+            (l if np.isfinite(l) else None, u if np.isfinite(u) else None)
+            for l, u in zip(mdl.lvar, mdl.uvar)
+        ]
+        t0 = time.time()
+        res = linprog(
+            mdl.c,
+            A_eq=mdl.A.toarray(),
+            b_eq=mdl.lcon,
+            bounds=bounds,
+            method="highs-ipm",
+        )
+        total_time += time.time() - t0
+        total_iters += int(getattr(res, "nit", 0) or 0)
+        objs.append(res.fun if res.status == 0 else np.nan)
+    return total_iters, total_time, objs
+
+
+def main():
+    jax.config.update("jax_enable_x64", True)
+    backend = jax.default_backend()
+    log(f"backend: {backend}, devices: {jax.devices()}")
+
+    k, n, m = 16, 384, 192
+    models = make_suite(k=k, n=n, m=m)
+
+    opts = dict(
+        tol=1e-8,
+        max_iter=300,
+        print_level=60,  # ERROR
+    )
+    import madipm_tpu as mt
+
+    opts["regularization"] = mt.FixedRegularization(1e-8, -1e-8)
+    opts["print_level"] = mt.PrintLevel.ERROR
+
+    iters, wall, stats = bench_tpu(models, opts)
+    solved = sum(s.success for s in stats)
+    log(f"tpu: {solved}/{k} solved, {iters} total iters in {wall:.3f}s "
+        f"-> {iters / wall:.1f} iter/s")
+
+    cpu_iters, cpu_time, cpu_objs = bench_cpu_baseline(models)
+    log(f"cpu(highs-ipm): {cpu_iters} iters in {cpu_time:.3f}s "
+        f"-> {cpu_iters / max(cpu_time, 1e-9):.1f} iter/s")
+
+    # Correctness cross-check
+    max_gap = 0.0
+    for s, ref_obj in zip(stats, cpu_objs):
+        if s.success and np.isfinite(ref_obj):
+            max_gap = max(max_gap, abs(s.objective - ref_obj) / max(1.0, abs(ref_obj)))
+    log(f"max relative objective gap vs HiGHS: {max_gap:.2e}")
+
+    value = iters / wall
+    baseline = cpu_iters / max(cpu_time, 1e-9)
+    out = {
+        "metric": f"ipm_iterations_per_sec_batch{k}_m{m}_n{n}_{backend}",
+        "value": round(value, 2),
+        "unit": "iter/s",
+        "vs_baseline": round(value / baseline, 3) if baseline > 0 else None,
+        "solve_rate": solved / k,
+        "max_rel_obj_gap": max_gap,
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
