@@ -1,0 +1,109 @@
+"""Recursive blocked Cholesky with explicit inverse factor.
+
+TPU-first replacement for the reference's sparse direct solver role (cuDSS
+CHOLESKY, README.md:87-98): instead of factor + sequential triangular
+solves (which on TPU serialize into latency-bound loops), compute the
+*inverse* Cholesky factor ``Linv = L^-1`` by a statically-unrolled
+divide-and-conquer recursion of pure matmuls:
+
+    S = [[S11, S21'], [S21, S22]]
+    L11 = chol(S11)                      (recurse)
+    W1  = L11^-1                         (from recursion)
+    L21 = S21 W1'
+    L22 = chol(S22 - L21 L21')           (recurse)
+    Linv = [[W1, 0], [-W2 L21 W1, W2]]   (W2 = L22^-1)
+
+Every op above is a matmul on power-of-two tiles -> MXU; the base case is a
+tiny masked Gaussian elimination.  Solves become two matmuls:
+``x = Linv' (Linv b)``, so the per-IPM-iteration predictor/corrector solves
+(reference: src/KKT/normalkkt.jl:196-219 triangular solves) cost two
+MXU matvecs each.  Stability is recovered by the fp64 iterative-refinement
+wrapper (ops/linalg.refine) around the fp32 factor.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_BASE = 16  # base-case size for the unrolled elimination
+
+
+def _tri_inv_base(L):
+    """Invert a small lower-triangular block by forward substitution."""
+    s = L.shape[-1]
+    eye = jnp.eye(s, dtype=L.dtype)
+    rows = jnp.arange(s)
+
+    def body(j, X):
+        # X holds L^-1 columns computed so far; compute column j.
+        # Solve L x = e_j sequentially: x_i = (e_ij - sum_{k<i} L_ik x_k)/L_ii
+        # vectorized: standard column sweep.
+        col = eye[:, j]
+        x = jnp.zeros(s, L.dtype)
+
+        def inner(i, x):
+            val = (col[i] - jnp.dot(L[i, :], x)) / L[i, i]
+            return x.at[i].set(val)
+
+        x = lax.fori_loop(0, s, inner, x)
+        return X.at[:, j].set(x)
+
+    return lax.fori_loop(0, s, body, jnp.zeros((s, s), L.dtype))
+
+
+def _chol_base(S):
+    """Unblocked Cholesky of a small tile via masked Gaussian elimination.
+
+    Returns (L, Linv).  NaNs propagate on non-SPD input (failure signal,
+    like jnp.linalg.cholesky).
+    """
+    s = S.shape[-1]
+    rows = jnp.arange(s)
+    L = jnp.zeros((s, s), S.dtype)
+    M = S
+
+    def step(j, carry):
+        M, L = carry
+        d = jnp.sqrt(M[j, j])
+        col = jnp.where(rows >= j, M[:, j] / d, 0.0)
+        L = L.at[:, j].set(col)
+        M = M - col[:, None] * col[None, :]
+        return (M, L)
+
+    M, L = lax.fori_loop(0, s, step, (M, L))
+    return L, _tri_inv_base(L)
+
+
+def chol_inv(S: jax.Array, base: int = _BASE):
+    """(L, Linv) of SPD S via the matmul recursion.  S must be square with
+    power-of-two-friendly size (callers pad to lane multiples anyway)."""
+    n = S.shape[-1]
+    if n <= base or n % 2 != 0:
+        return _chol_base(S)
+    h = n // 2
+    S11 = S[..., :h, :h]
+    S21 = S[..., h:, :h]
+    S22 = S[..., h:, h:]
+    L11, W1 = chol_inv(S11, base)
+    L21 = jnp.matmul(S21, W1.mT if hasattr(W1, "mT") else W1.T)
+    # L21 = S21 W1' ; trailing Schur complement
+    T = S22 - jnp.matmul(L21, L21.mT if hasattr(L21, "mT") else L21.T)
+    L22, W2 = chol_inv(T, base)
+    Z = jnp.zeros_like(S21.mT if hasattr(S21, "mT") else S21.T)
+    W21 = -jnp.matmul(W2, jnp.matmul(L21, W1))
+    L = jnp.block([[L11, Z], [L21, L22]])
+    W = jnp.block([[W1, Z], [W21, W2]])
+    return L, W
+
+
+def chol_inv_solve(Linv: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve S x = b given Linv = L^-1: x = Linv' Linv b — two matmuls."""
+    if b.ndim == Linv.ndim - 1:
+        y = jnp.einsum("...ij,...j->...i", Linv, b)
+        return jnp.einsum("...ji,...j->...i", Linv, y)
+    y = jnp.matmul(Linv, b)
+    return jnp.matmul(Linv.mT if hasattr(Linv, "mT") else Linv.T, y)

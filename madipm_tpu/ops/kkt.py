@@ -38,7 +38,7 @@ from jax import lax
 
 from ..models.qp import DeviceQP
 from ..utils.options import KKTSystem, LinearSolver
-from . import linalg
+from . import block_chol, linalg
 
 
 @dataclasses.dataclass(frozen=True)
@@ -53,16 +53,17 @@ class KKTConfig:
 
 
 class NormalFactors(NamedTuple):
-    L: jax.Array  # Cholesky factor of S (factor dtype)
-    S: jax.Array  # normal matrix in residual dtype (for refinement matvec)
-    dinv: jax.Array  # Sigma^-1 with fixed/padded columns zeroed
+    L: jax.Array  # Cholesky factor of the Jacobi-scaled S (factor dtype)
+    jac: jax.Array  # Jacobi scale d_i = 1/sqrt(S_ii) (factor dtype)
+    dinv: jax.Array  # Sigma^-1 with fixed/padded columns zeroed (residual dtype)
+    del_c: jax.Array  # dual regularization used in this factorization
 
 
 class AugmentedFactors(NamedTuple):
-    Lfac: jax.Array  # LDL: unit-lower L; LU: packed LU
+    Lfac: jax.Array  # LDL: unit-lower L; LU: packed LU (factor dtype)
     dfac: jax.Array  # LDL: diagonal d; LU: pivot indices
-    K: jax.Array  # augmented matrix in residual dtype
-    sigma: jax.Array
+    sigma: jax.Array  # barrier diagonal (residual dtype, for refinement matvec)
+    del_c: jax.Array
 
 
 # ---------------------------------------------------------------------------
@@ -89,27 +90,35 @@ def build_sigma(prob: DeviceQP, x, zl, zu, del_w):
 # ---------------------------------------------------------------------------
 
 
-def _assemble_normal(prob: DeviceQP, sigma, del_c):
-    """S = A Sigma^-1 A' - del_c I with padded rows pinned to identity."""
+def _assemble_normal(prob: DeviceQP, sigma, del_c, factor_dtype):
+    """S = A Sigma^-1 A' - del_c I with padded rows pinned to identity.
+
+    Assembled directly in the *factor* dtype so the O(m^2 n) matmul runs at
+    full MXU rate when factoring in fp32; the fp64 refinement operator never
+    materializes S (it applies A twice instead, see solve_condensed).
+    """
     free = prob.free_mask
     dinv = jnp.where(free, 1.0 / sigma, 0.0)
+    Af = prob.A.astype(factor_dtype)
+    df = dinv.astype(factor_dtype)
     # One MXU matmul: (m,n) * (n,) -> (m,n) @ (n,m)
-    S = jnp.dot(prob.A * dinv[None, :], prob.A.T, preferred_element_type=prob.A.dtype)
-    diag_add = jnp.where(prob.row_mask, -del_c, 1.0 - jnp.diagonal(S))
+    S = jnp.dot(Af * df[None, :], Af.T, preferred_element_type=factor_dtype)
+    diag_add = jnp.where(
+        prob.row_mask, -jnp.asarray(del_c, factor_dtype), 1.0 - jnp.diagonal(S)
+    )
     S = S + jnp.diag(diag_add)
     return S, dinv
 
 
-def _assemble_augmented(prob: DeviceQP, sigma, del_c):
+def _assemble_augmented(prob: DeviceQP, sigma, del_c, factor_dtype):
     """K = [Sigma+Q, A'; A, del_c I], masked columns/rows pinned."""
     free = prob.free_mask
-    A_eff = prob.A * free[None, :]
-    n, m = prob.n, prob.m
-    H = jnp.diag(sigma)
+    A_eff = (prob.A * free[None, :]).astype(factor_dtype)
+    H = jnp.diag(sigma.astype(factor_dtype))
     if prob.Q is not None:
-        Qm = prob.Q * free[None, :] * free[:, None]
+        Qm = (prob.Q * free[None, :] * free[:, None]).astype(factor_dtype)
         H = H + Qm
-    du = jnp.where(prob.row_mask, del_c, 1.0)
+    du = jnp.where(prob.row_mask, jnp.asarray(del_c, factor_dtype), 1.0)
     # del_c == 0 with padded rows already pinned; live rows keep del_c (may be 0:
     # the augmented matrix stays nonsingular if A has full row rank).
     K = jnp.block([[H, A_eff.T], [A_eff, jnp.diag(du)]])
@@ -128,20 +137,46 @@ def factorize(cfg: KKTConfig, prob: DeviceQP, x, zl, zu, del_w, del_c):
     def attempt(dw, dc):
         sigma = build_sigma(prob, x, zl, zu, dw)
         if cfg.kind == KKTSystem.NORMAL:
-            S, dinv = _assemble_normal(prob, sigma, dc)
-            L = linalg.cholesky_factor(S, dtype=cfg.factor_dtype)
-            ok = linalg.cholesky_is_ok(L)
-            return NormalFactors(L=L, S=S, dinv=dinv), ok
+            S, dinv = _assemble_normal(prob, sigma, dc, cfg.factor_dtype)
+            # Jacobi (diagonal) scaling before the low-precision factor: the
+            # IPM normal matrix's ill-conditioning is mostly diagonal, so
+            # D^-1/2 S D^-1/2 keeps fp32 Cholesky + fp64 refinement
+            # convergent near the barrier floor (the TPU analogue of the
+            # reference's K2.5 ScaledSparseKKTSystem, src/kernels.jl:138-149).
+            dS = jnp.diagonal(S)
+            jac = jax.lax.rsqrt(jnp.maximum(dS, jnp.finfo(cfg.factor_dtype).tiny))
+            Shat = S * jac[:, None] * jac[None, :]
+            if cfg.linear_solver == LinearSolver.CHOLESKY_INV:
+                Lc, W = block_chol.chol_inv(Shat)
+                ok = linalg.cholesky_is_ok(Lc) & jnp.all(jnp.isfinite(W))
+                fac = W  # store the inverse factor; solves are matmuls
+            else:
+                fac = linalg.cholesky_factor(Shat)
+                ok = linalg.cholesky_is_ok(fac)
+            return (
+                NormalFactors(L=fac, jac=jac, dinv=dinv, del_c=jnp.asarray(dc, rdtype)),
+                ok,
+            )
         else:
-            K = _assemble_augmented(prob, sigma, dc)
+            K = _assemble_augmented(prob, sigma, dc, cfg.factor_dtype)
             if cfg.linear_solver == LinearSolver.LU:
-                lu, piv = linalg.lu_factor(K, dtype=cfg.factor_dtype)
+                lu, piv = linalg.lu_factor(K)
                 ok = linalg.lu_is_ok(lu)
-                return AugmentedFactors(Lfac=lu, dfac=piv, K=K, sigma=sigma), ok
+                return (
+                    AugmentedFactors(
+                        Lfac=lu, dfac=piv, sigma=sigma, del_c=jnp.asarray(dc, rdtype)
+                    ),
+                    ok,
+                )
             else:  # LDL
-                L, d = linalg.ldl_factor(K, dtype=cfg.factor_dtype)
+                L, d = linalg.ldl_factor(K)
                 ok = linalg.ldl_is_ok(L, d)
-                return AugmentedFactors(Lfac=L, dfac=d, K=K, sigma=sigma), ok
+                return (
+                    AugmentedFactors(
+                        Lfac=L, dfac=d, sigma=sigma, del_c=jnp.asarray(dc, rdtype)
+                    ),
+                    ok,
+                )
 
     factors0, ok0 = attempt(del_w, del_c)
 
@@ -184,8 +219,25 @@ def solve_condensed(cfg: KKTConfig, prob: DeviceQP, factors, rx, rp):
         r2 = jnp.dot(A, r1, preferred_element_type=rx.dtype) - rp
         r2 = jnp.where(prob.row_mask, r2, 0.0)
 
-        solve_fn = lambda b: linalg.cholesky_solve(factors.L, b)
-        matvec = lambda v: jnp.dot(factors.S, v, preferred_element_type=rx.dtype)
+        jac = factors.jac
+
+        def solve_fn(b):
+            # Preconditioned low-precision solve through the Jacobi scaling:
+            # S = D^1/2 Shat D^1/2  =>  S^-1 b = D^-1/2 Shat^-1 D^-1/2 b
+            bf = (b * jac).astype(factors.L.dtype)
+            if cfg.linear_solver == LinearSolver.CHOLESKY_INV:
+                return block_chol.chol_inv_solve(factors.L, bf) * jac
+            return linalg.cholesky_solve(factors.L, bf) * jac
+
+        def matvec(v):
+            # Exact fp64 operator applied via A twice — S itself is only
+            # ever materialized in the factor dtype.
+            sv = jnp.dot(
+                A, dinv * jnp.dot(A.T, v, preferred_element_type=rx.dtype),
+                preferred_element_type=rx.dtype,
+            ) - factors.del_c * v
+            return jnp.where(prob.row_mask, sv, v)
+
         dy = linalg.refine(solve_fn, matvec, r2, cfg.refinement_steps)
         dy = jnp.where(prob.row_mask, dy, 0.0)
 
@@ -193,13 +245,34 @@ def solve_condensed(cfg: KKTConfig, prob: DeviceQP, factors, rx, rp):
         return dx, dy
     else:
         n = prob.n
-        rhs = jnp.concatenate([jnp.where(prob.free_mask, rx, 0.0), jnp.where(prob.row_mask, rp, 0.0)])
+        free = prob.free_mask
+        rhs = jnp.concatenate(
+            [jnp.where(free, rx, 0.0), jnp.where(prob.row_mask, rp, 0.0)]
+        )
         if cfg.linear_solver == LinearSolver.LU:
-            solve_fn = lambda b: linalg.lu_solve(factors.Lfac, factors.dfac, b)
+            solve_fn = lambda b: linalg.lu_solve(
+                factors.Lfac, factors.dfac, b.astype(factors.Lfac.dtype)
+            ).astype(rx.dtype)
         else:
-            solve_fn = lambda b: linalg.ldl_solve(factors.Lfac, factors.dfac, b)
-        matvec = lambda v: jnp.dot(factors.K, v, preferred_element_type=rx.dtype)
+            solve_fn = lambda b: linalg.ldl_solve(
+                factors.Lfac, factors.dfac, b.astype(factors.Lfac.dtype)
+            ).astype(rx.dtype)
+
+        def matvec(v):
+            # Exact fp64 augmented operator from the original pieces.
+            vx, vy = v[:n], v[n:]
+            hx = factors.sigma * vx
+            if prob.Q is not None:
+                hx = hx + jnp.dot(
+                    prob.Q, jnp.where(free, vx, 0.0), preferred_element_type=rx.dtype
+                )
+            ax = jnp.dot(A, jnp.where(free, vx, 0.0), preferred_element_type=rx.dtype)
+            aty = jnp.dot(A.T, jnp.where(prob.row_mask, vy, 0.0), preferred_element_type=rx.dtype)
+            top = jnp.where(free, hx + aty, vx)
+            bot = jnp.where(prob.row_mask, ax + factors.del_c * vy, vy)
+            return jnp.concatenate([top, bot])
+
         sol = linalg.refine(solve_fn, matvec, rhs, cfg.refinement_steps)
-        dx = jnp.where(prob.free_mask, sol[:n], 0.0)
+        dx = jnp.where(free, sol[:n], 0.0)
         dy = jnp.where(prob.row_mask, sol[n:], 0.0)
         return dx, dy

@@ -116,6 +116,9 @@ class LinearSolver(enum.Enum):
     """Factorization backend for the KKT matrix.
 
     - CHOLESKY: dense (blocked) Cholesky of the SPD normal matrix.
+    - CHOLESKY_INV: recursive blocked Cholesky producing the explicit
+      inverse factor L^-1 (ops/block_chol.py) — solves become two MXU
+      matmuls instead of sequential triangular solves; the TPU-fast option.
     - LDL: dense unpivoted LDL' of the quasi-definite augmented matrix.
     - LU: dense LU with partial pivoting (robust fallback).
     Replaces the reference's pluggable direct solvers (cuDSS/Ma57/CHOLMOD/
@@ -123,6 +126,7 @@ class LinearSolver(enum.Enum):
     """
 
     CHOLESKY = "cholesky"
+    CHOLESKY_INV = "cholesky_inv"
     LDL = "ldl"
     LU = "lu"
 
