@@ -121,15 +121,21 @@ def main():
     k, n, m = 16, 384, 192
     models = make_suite(k=k, n=n, m=m)
 
+    import madipm_tpu as mt
+
     opts = dict(
         tol=1e-8,
         max_iter=300,
-        print_level=60,  # ERROR
+        regularization=mt.FixedRegularization(1e-8, -1e-8),
+        print_level=mt.PrintLevel.ERROR,
     )
-    import madipm_tpu as mt
-
-    opts["regularization"] = mt.FixedRegularization(1e-8, -1e-8)
-    opts["print_level"] = mt.PrintLevel.ERROR
+    if backend != "cpu":
+        # TPU config: fp32 MXU factorization via the matmul-only recursive
+        # inverse-Cholesky (no lax.linalg triangular solves, which compile
+        # to enormous emulated-fp64 programs on TPU) + fp64 refinement.
+        opts["linear_solver"] = mt.LinearSolver.CHOLESKY_INV
+        opts["factor_dtype"] = "float32"
+        opts["refinement_steps"] = 3
 
     iters, wall, stats = bench_tpu(models, opts)
     solved = sum(s.success for s in stats)
