@@ -62,7 +62,9 @@ def make_suite(k=16, n=384, m=192, density=0.3, seed0=1234):
 def bench_tpu(models, opts):
     """Vmapped single-program solve of the whole suite; returns
     (iters_total, wall_seconds, stats_list). Compile excluded via warmup."""
-    from madipm_tpu.parallel.batch import bucket_pad, solve_batched, batched_stats
+    from functools import partial
+
+    from madipm_tpu.parallel.batch import bucket_pad, batched_stats
     from madipm_tpu.solver import driver
     from madipm_tpu.utils.options import load_options
 
@@ -70,16 +72,20 @@ def bench_tpu(models, opts):
     probs, slacked = bucket_pad(models)
     cfg = driver.make_config(opt, is_qp=False)
 
+    # One jitted executable reused across runs (a fresh jax.jit wrapper per
+    # call would retrace + recompile every time).
+    fn = jax.jit(jax.vmap(partial(driver.solve_device, cfg)))
+
     # Warmup/compile
     t0 = time.time()
-    _, scale, state = solve_batched(cfg, probs)
+    _, scale, state = fn(probs)
     jax.block_until_ready(state.k)
     compile_and_first = time.time() - t0
     log(f"tpu: first run (incl compile) {compile_and_first:.1f}s")
 
-    # Timed run
+    # Timed run (same executable)
     t0 = time.time()
-    _, scale, state = solve_batched(cfg, probs)
+    _, scale, state = fn(probs)
     jax.block_until_ready(state.k)
     wall = time.time() - t0
     stats = batched_stats(models, scale, state, wall)
@@ -115,6 +121,7 @@ def bench_cpu_baseline(models):
 
 def main():
     jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_default_matmul_precision", "highest")
     backend = jax.default_backend()
     log(f"backend: {backend}, devices: {jax.devices()}")
 

@@ -34,6 +34,11 @@ from .utils.status import Status
 def _ensure_x64():
     if not jax.config.jax_enable_x64:
         jax.config.update("jax_enable_x64", True)
+    # TPU fp32 matmuls default to single-pass bf16 on the MXU (~8 mantissa
+    # bits) — fatal for the fp32 Cholesky factor + refinement loop.  HIGHEST
+    # selects the multi-pass scheme with true fp32 accuracy.
+    if jax.config.jax_default_matmul_precision is None:
+        jax.config.update("jax_default_matmul_precision", "highest")
     # Persistent compilation cache: repeated solves of same-shape problems
     # (the benchmark sweep pattern, scripts/benchmarks_cpu.jl:15-58) skip
     # recompilation across processes.
