@@ -83,13 +83,29 @@ def bench_tpu(models, opts):
     compile_and_first = time.time() - t0
     log(f"tpu: first run (incl compile) {compile_and_first:.1f}s")
 
-    # Timed run (same executable)
+    # Timed: solve R *distinct* pre-staged batches back-to-back (fresh data
+    # defeats any result reuse; staging excluded from the timing).
+    R = 4
+    perturbed = []
+    for r in range(1, R + 1):
+        p = jax.tree_util.tree_map(lambda a: a, probs)
+        import dataclasses as _dc
+
+        p = _dc.replace(probs, b=probs.b * (1.0 + 1e-4 * r))
+        perturbed.append(jax.device_put(p))
+    jax.block_until_ready([p.b for p in perturbed])
+
     t0 = time.time()
-    _, scale, state = fn(probs)
-    jax.block_until_ready(state.k)
-    wall = time.time() - t0
-    stats = batched_stats(models, scale, state, wall)
-    iters = int(np.sum(np.asarray(state.k)))
+    states = []
+    for p in perturbed:
+        _, scale, state = fn(p)
+        states.append(state)
+    jax.block_until_ready([s.k for s in states])
+    wall = (time.time() - t0) / R
+    state = states[-1]
+    scale_last = scale
+    stats = batched_stats(models, scale_last, state, wall)
+    iters = int(np.mean([np.sum(np.asarray(s.k)) for s in states]))
     return iters, wall, stats
 
 
@@ -123,6 +139,8 @@ def main():
     jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_default_matmul_precision", "highest")
     backend = jax.default_backend()
+    jax.config.update("jax_compilation_cache_dir", f"/tmp/madipm_jax_cache_{backend}")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     log(f"backend: {backend}, devices: {jax.devices()}")
 
     k, n, m = 16, 384, 192
@@ -142,7 +160,7 @@ def main():
         # to enormous emulated-fp64 programs on TPU) + fp64 refinement.
         opts["linear_solver"] = mt.LinearSolver.CHOLESKY_INV
         opts["factor_dtype"] = "float32"
-        opts["refinement_steps"] = 3
+        opts["refinement_steps"] = 6  # adaptive: early-exit budget
 
     iters, wall, stats = bench_tpu(models, opts)
     solved = sum(s.success for s in stats)
@@ -173,5 +191,41 @@ def main():
     print(json.dumps(out), flush=True)
 
 
+def _run_with_retries(attempts: int = 3, timeout_s: int = 1200) -> int:
+    """Re-exec the benchmark in a child process with a hard timeout, retrying
+    on hangs.  The TPU tunnel in this environment intermittently stalls a
+    device RPC forever; a fresh process re-attaches cleanly and the
+    persistent compilation cache makes retries cheap."""
+    import os
+    import subprocess
+
+    env = dict(os.environ, MADIPM_BENCH_CHILD="1")
+    for attempt in range(1, attempts + 1):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                timeout=timeout_s,
+                capture_output=True,
+                text=True,
+            )
+        except subprocess.TimeoutExpired:
+            log(f"bench attempt {attempt} timed out after {timeout_s}s; retrying")
+            continue
+        sys.stderr.write(proc.stderr)
+        lines = [l for l in proc.stdout.splitlines() if l.strip().startswith("{")]
+        if proc.returncode == 0 and lines:
+            print(lines[-1], flush=True)
+            return 0
+        log(f"bench attempt {attempt} failed (rc={proc.returncode})")
+    log("all bench attempts failed")
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    import os
+
+    if os.environ.get("MADIPM_BENCH_CHILD"):
+        main()
+    else:
+        sys.exit(_run_with_retries())

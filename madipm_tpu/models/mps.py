@@ -35,8 +35,25 @@ def _open_lines(path: str) -> Iterable[str]:
             yield from f
 
 
-def read_mps(path: str, name: Optional[str] = None) -> QuadraticModel:
-    """Parse an MPS/QPS file (optionally .gz/.bz2) into a QuadraticModel."""
+def read_mps(path: str, name: Optional[str] = None, use_native: Optional[bool] = None) -> QuadraticModel:
+    """Parse an MPS/QPS file (optionally .gz/.bz2) into a QuadraticModel.
+
+    ``use_native=None`` (auto) uses the C++ parser (native/mps_native.cpp)
+    when the library is available, falling back to this module's Python
+    implementation; True forces native, False forces Python.
+    """
+    if use_native is not False:
+        try:
+            from .native import available, native_parse_mps
+
+            if available():
+                text = "".join(_open_lines(path))
+                return native_parse_mps(text, name=name or path)
+            if use_native:
+                raise RuntimeError("native MPS parser requested but unavailable")
+        except RuntimeError:
+            if use_native:
+                raise
     return parse_mps(_open_lines(path), name=name or path)
 
 

@@ -184,7 +184,7 @@ def lu_solve(lu, piv, b: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def refine(solve_fn, matvec_fn, rhs: jax.Array, steps: int) -> jax.Array:
+def refine(solve_fn, matvec_fn, rhs: jax.Array, steps: int, rtol: float = 1e-14) -> jax.Array:
     """Iteratively refined solve: x <- x + solve(rhs - K x).
 
     ``solve_fn`` runs in the (possibly low) factorization precision;
@@ -193,9 +193,39 @@ def refine(solve_fn, matvec_fn, rhs: jax.Array, steps: int) -> jax.Array:
     residuals — this is what lets the MXU (fp32) do the O(n^3) work while the
     solver converges to the reference's 1e-8 tolerance
     (SURVEY §7 "hard parts" item 4).
+
+    ``steps`` bounds a ``while_loop`` that exits early once the residual
+    stops improving or falls under ``rtol * ||rhs||``; hard systems use the
+    full budget, easy ones exit after one sweep.  Divergent corrections
+    (worse residual) are rejected, keeping the best iterate — the active
+    replacement for the reference's residual check + SolveException
+    (src/linear_solver.jl:28-43).
     """
-    x = solve_fn(rhs).astype(rhs.dtype)
-    for _ in range(steps):
+    x0 = solve_fn(rhs).astype(rhs.dtype)
+    if steps <= 0:
+        return x0
+    norm_rhs = jnp.max(jnp.abs(rhs))
+    tol = rtol * jnp.maximum(1.0, norm_rhs)
+
+    def resid_norm(x):
+        return jnp.max(jnp.abs(rhs - matvec_fn(x)))
+
+    r0 = resid_norm(x0)
+
+    def cond(carry):
+        i, _x, rn = carry
+        return (i < steps) & (rn > tol)
+
+    def body(carry):
+        i, x, rn = carry
         r = rhs - matvec_fn(x)
-        x = x + solve_fn(r).astype(rhs.dtype)
+        x_new = x + solve_fn(r).astype(rhs.dtype)
+        rn_new = resid_norm(x_new)
+        # Keep the best iterate; a single non-improving sweep (rounding
+        # noise near the attainable floor) doesn't end the loop.
+        improved = rn_new < rn
+        x = jnp.where(improved, x_new, x)
+        return (i + 1, x, jnp.minimum(rn_new, rn))
+
+    _, x, _ = lax.while_loop(cond, body, (0, x0, r0))
     return x

@@ -198,10 +198,11 @@ class IPMOptions:
     # Linear solve
     tol_linear_solve: float = 1e-8
     check_residual: bool = False
-    #: number of fp64 iterative-refinement sweeps after each fp32 factor-solve
-    #: on TPU (0 disables; load-bearing for reaching tol=1e-8 with an MXU
-    #: fp32 factorization — see ops/refine.py).
-    refinement_steps: int = 2
+    #: max fp64 iterative-refinement sweeps after each fp32 factor-solve on
+    #: TPU (0 disables; load-bearing for reaching tol=1e-8 with an MXU fp32
+    #: factorization).  The refinement loop exits early on convergence, so
+    #: this is a budget, not a fixed cost (ops/linalg.refine).
+    refinement_steps: int = 6
 
     # Compute dtype of the factorization ("float64" on CPU tests; "float32"
     # + refinement on TPU). None = pick by backend.

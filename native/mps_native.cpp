@@ -1,0 +1,311 @@
+// Native problem-ingestion kernels for madipm_tpu.
+//
+// The reference's native muscle lives in its dependencies (cuDSS, CUSPARSE,
+// HSL — SURVEY §2.2); its host-side ingestion (QPSReader.jl, coo_to_csr at
+// src/utils.jl:158-207) is pure Julia.  Here the host runtime pieces that
+// sit on the critical path of benchmark sweeps — MPS tokenization/parsing
+// and COO->CSR conversion — are C++, exposed through a plain C ABI consumed
+// via ctypes (madipm_tpu/models/native.py), with the Python implementations
+// as reference/fallback.
+//
+// Build: make -C native   (produces libmadipm_native.so)
+
+#include <cctype>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <limits>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+constexpr double kInf = std::numeric_limits<double>::infinity();
+
+struct Triplet {
+  int32_t i, j;
+  double v;
+};
+
+struct MpsData {
+  std::string name;
+  std::string error;
+  bool maximize = false;
+  double c0 = 0.0;
+  int32_t nvar = 0, ncon = 0;
+  std::vector<Triplet> A;
+  std::vector<Triplet> Q;  // lower triangle of the symmetric Hessian
+  std::vector<double> c, lvar, uvar, lcon, ucon;
+  std::vector<uint8_t> integer_mask;
+  std::vector<char> row_type;  // 'L','G','E'
+};
+
+// Split a line into whitespace-separated tokens (no allocation per token).
+inline void tokenize(const char* s, size_t len, std::vector<std::string>& out) {
+  out.clear();
+  size_t i = 0;
+  while (i < len) {
+    while (i < len && std::isspace((unsigned char)s[i])) i++;
+    size_t start = i;
+    while (i < len && !std::isspace((unsigned char)s[i])) i++;
+    if (i > start) out.emplace_back(s + start, i - start);
+  }
+}
+
+inline std::string upper(std::string t) {
+  for (auto& ch : t) ch = std::toupper((unsigned char)ch);
+  return t;
+}
+
+MpsData* parse_mps_text(const char* text, size_t len) {
+  auto* d = new MpsData();
+  std::unordered_map<std::string, int32_t> rows;  // constraint rows only
+  std::unordered_map<std::string, int32_t> cols;
+  std::string obj_name;
+  bool have_obj = false;
+
+  std::vector<double> rhs;     // per row
+  std::vector<double> range;   // per row (NaN = unset)
+  std::vector<uint8_t> explicit_lb;
+
+  auto col_id = [&](const std::string& nm) -> int32_t {
+    auto it = cols.find(nm);
+    if (it != cols.end()) return it->second;
+    int32_t id = d->nvar++;
+    cols.emplace(nm, id);
+    d->c.push_back(0.0);
+    d->lvar.push_back(0.0);
+    d->uvar.push_back(kInf);
+    d->integer_mask.push_back(0);
+    explicit_lb.push_back(0);
+    return id;
+  };
+
+  enum Section { NONE, OBJSENSE, ROWS, COLUMNS, RHS, RANGES, BOUNDS, QUAD, SKIP };
+  Section sec = NONE;
+  bool quad_full = false;  // QMATRIX lists the full matrix
+  bool in_integer = false;
+  std::vector<std::string> tok;
+  tok.reserve(16);
+
+  size_t pos = 0;
+  while (pos < len) {
+    size_t eol = pos;
+    while (eol < len && text[eol] != '\n') eol++;
+    const char* line = text + pos;
+    size_t llen = eol - pos;
+    pos = eol + 1;
+    if (llen == 0) continue;
+    if (line[0] == '*') continue;
+    bool header = !std::isspace((unsigned char)line[0]);
+    tokenize(line, llen, tok);
+    if (tok.empty()) continue;
+
+    if (header) {
+      std::string head = upper(tok[0]);
+      if (head == "NAME") {
+        if (tok.size() > 1) d->name = tok[1];
+        sec = NONE;
+      } else if (head == "OBJSENSE") {
+        sec = OBJSENSE;
+        if (tok.size() > 1) {
+          std::string v = upper(tok[1]);
+          d->maximize = (v == "MAX" || v == "MAXIMIZE");
+          sec = SKIP;
+        }
+      } else if (head == "ROWS") sec = ROWS;
+      else if (head == "COLUMNS") sec = COLUMNS;
+      else if (head == "RHS") sec = RHS;
+      else if (head == "RANGES") sec = RANGES;
+      else if (head == "BOUNDS") sec = BOUNDS;
+      else if (head == "QUADOBJ" || head == "QSECTION") { sec = QUAD; quad_full = false; }
+      else if (head == "QMATRIX") { sec = QUAD; quad_full = true; }
+      else if (head == "ENDATA") break;
+      else sec = SKIP;
+      continue;
+    }
+
+    switch (sec) {
+      case OBJSENSE: {
+        std::string v = upper(tok[0]);
+        d->maximize = (v == "MAX" || v == "MAXIMIZE");
+        sec = SKIP;
+        break;
+      }
+      case ROWS: {
+        if (tok.size() < 2) break;
+        char t = std::toupper((unsigned char)tok[0][0]);
+        if (t == 'N') {
+          if (!have_obj) { obj_name = tok[1]; have_obj = true; }
+        } else {
+          rows.emplace(tok[1], d->ncon++);
+          d->row_type.push_back(t);
+          rhs.push_back(0.0);
+          range.push_back(std::nan(""));
+        }
+        break;
+      }
+      case COLUMNS: {
+        if (tok.size() >= 3 && upper(tok[1]) == "'MARKER'") {
+          std::string l = upper(std::string(line, llen));
+          if (l.find("INTORG") != std::string::npos) in_integer = true;
+          else if (l.find("INTEND") != std::string::npos) in_integer = false;
+          break;
+        }
+        int32_t j = col_id(tok[0]);
+        if (in_integer) d->integer_mask[j] = 1;
+        for (size_t k = 1; k + 1 < tok.size(); k += 2) {
+          double v = std::strtod(tok[k + 1].c_str(), nullptr);
+          if (have_obj && tok[k] == obj_name) {
+            d->c[j] += v;
+          } else {
+            auto it = rows.find(tok[k]);
+            if (it != rows.end()) d->A.push_back({it->second, j, v});
+          }
+        }
+        break;
+      }
+      case RHS: {
+        size_t start = (tok.size() % 2 == 1) ? 1 : 0;
+        for (size_t k = start; k + 1 < tok.size(); k += 2) {
+          double v = std::strtod(tok[k + 1].c_str(), nullptr);
+          if (have_obj && tok[k] == obj_name) {
+            d->c0 = -v;
+          } else {
+            auto it = rows.find(tok[k]);
+            if (it != rows.end()) rhs[it->second] = v;
+          }
+        }
+        break;
+      }
+      case RANGES: {
+        size_t start = (tok.size() % 2 == 1) ? 1 : 0;
+        for (size_t k = start; k + 1 < tok.size(); k += 2) {
+          auto it = rows.find(tok[k]);
+          if (it != rows.end())
+            range[it->second] = std::strtod(tok[k + 1].c_str(), nullptr);
+        }
+        break;
+      }
+      case BOUNDS: {
+        if (tok.size() < 3) break;
+        std::string bt = upper(tok[0]);
+        const std::string& cn = tok[2];
+        int32_t j = col_id(cn);
+        double v = (tok.size() >= 4) ? std::strtod(tok[3].c_str(), nullptr) : 0.0;
+        if (bt == "UP") {
+          d->uvar[j] = v;
+          if (v < 0 && !explicit_lb[j]) d->lvar[j] = -kInf;
+        } else if (bt == "LO") { d->lvar[j] = v; explicit_lb[j] = 1; }
+        else if (bt == "FX") { d->lvar[j] = v; d->uvar[j] = v; explicit_lb[j] = 1; }
+        else if (bt == "FR") { d->lvar[j] = -kInf; d->uvar[j] = kInf; explicit_lb[j] = 1; }
+        else if (bt == "MI") { d->lvar[j] = -kInf; explicit_lb[j] = 1; }
+        else if (bt == "PL") { d->uvar[j] = kInf; }
+        else if (bt == "BV") { d->lvar[j] = 0; d->uvar[j] = 1; d->integer_mask[j] = 1; explicit_lb[j] = 1; }
+        else if (bt == "UI") { d->uvar[j] = v; d->integer_mask[j] = 1; }
+        else if (bt == "LI") { d->lvar[j] = v; d->integer_mask[j] = 1; explicit_lb[j] = 1; }
+        break;
+      }
+      case QUAD: {
+        for (size_t k = 1; k + 1 < tok.size(); k += 2) {
+          int32_t i = col_id(tok[0]);
+          int32_t j = col_id(tok[k]);
+          double v = std::strtod(tok[k + 1].c_str(), nullptr);
+          if (quad_full) {
+            if (i >= j) d->Q.push_back({i, j, v});  // keep lower triangle
+          } else {
+            d->Q.push_back({i, j, v});
+          }
+        }
+        break;
+      }
+      default:
+        break;
+    }
+  }
+
+  // Row bounds from types + rhs + ranges.
+  d->lcon.assign(d->ncon, -kInf);
+  d->ucon.assign(d->ncon, kInf);
+  for (int32_t i = 0; i < d->ncon; i++) {
+    char t = d->row_type[i];
+    double r = rhs[i];
+    if (t == 'L') d->ucon[i] = r;
+    else if (t == 'G') d->lcon[i] = r;
+    else { d->lcon[i] = r; d->ucon[i] = r; }
+    double rg = range[i];
+    if (!std::isnan(rg)) {
+      if (t == 'L') d->lcon[i] = d->ucon[i] - std::fabs(rg);
+      else if (t == 'G') d->ucon[i] = d->lcon[i] + std::fabs(rg);
+      else { if (rg >= 0) d->ucon[i] = r + rg; else d->lcon[i] = r + rg; }
+    }
+  }
+  return d;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* mps_parse(const char* text, int64_t len) {
+  try {
+    return parse_mps_text(text, (size_t)len);
+  } catch (...) {
+    return nullptr;
+  }
+}
+
+void mps_dims(void* h, int64_t* nvar, int64_t* ncon, int64_t* nnz,
+              int64_t* qnnz, int32_t* maximize) {
+  auto* d = static_cast<MpsData*>(h);
+  *nvar = d->nvar;
+  *ncon = d->ncon;
+  *nnz = (int64_t)d->A.size();
+  *qnnz = (int64_t)d->Q.size();
+  *maximize = d->maximize ? 1 : 0;
+}
+
+void mps_fill(void* h, int32_t* Ai, int32_t* Aj, double* Ax, double* c,
+              double* lvar, double* uvar, double* lcon, double* ucon,
+              int32_t* Qi, int32_t* Qj, double* Qx, double* c0,
+              uint8_t* integer_mask, char* name, int64_t name_cap) {
+  auto* d = static_cast<MpsData*>(h);
+  for (size_t k = 0; k < d->A.size(); k++) {
+    Ai[k] = d->A[k].i;
+    Aj[k] = d->A[k].j;
+    Ax[k] = d->A[k].v;
+  }
+  for (size_t k = 0; k < d->Q.size(); k++) {
+    Qi[k] = d->Q[k].i;
+    Qj[k] = d->Q[k].j;
+    Qx[k] = d->Q[k].v;
+  }
+  std::memcpy(c, d->c.data(), d->nvar * sizeof(double));
+  std::memcpy(lvar, d->lvar.data(), d->nvar * sizeof(double));
+  std::memcpy(uvar, d->uvar.data(), d->nvar * sizeof(double));
+  std::memcpy(lcon, d->lcon.data(), d->ncon * sizeof(double));
+  std::memcpy(ucon, d->ucon.data(), d->ncon * sizeof(double));
+  std::memcpy(integer_mask, d->integer_mask.data(), d->nvar);
+  *c0 = d->c0;
+  std::snprintf(name, name_cap, "%s", d->name.c_str());
+}
+
+void mps_free(void* h) { delete static_cast<MpsData*>(h); }
+
+// COO -> CSR counting sort (reference coo_to_csr, src/utils.jl:158-207).
+void coo_to_csr(int64_t n_rows, int64_t nnz, const int32_t* Ai,
+                const int32_t* Aj, const double* Ax, int32_t* Bp, int32_t* Bj,
+                double* Bx) {
+  std::memset(Bp, 0, (n_rows + 1) * sizeof(int32_t));
+  for (int64_t k = 0; k < nnz; k++) Bp[Ai[k] + 1]++;
+  for (int64_t i = 0; i < n_rows; i++) Bp[i + 1] += Bp[i];
+  std::vector<int32_t> next(Bp, Bp + n_rows);
+  for (int64_t k = 0; k < nnz; k++) {
+    int32_t dest = next[Ai[k]]++;
+    Bj[dest] = Aj[k];
+    Bx[dest] = Ax[k];
+  }
+}
+
+}  // extern "C"
