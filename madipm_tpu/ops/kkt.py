@@ -238,7 +238,12 @@ def solve_condensed(cfg: KKTConfig, prob: DeviceQP, factors, rx, rp):
             ) - factors.del_c * v
             return jnp.where(prob.row_mask, sv, v)
 
-        dy = linalg.refine(solve_fn, matvec, r2, cfg.refinement_steps)
+        if cfg.refinement_steps > 0:
+            # SPD system: fp64 PCG preconditioned by the fp32 factor beats
+            # Richardson refinement once cond(S) passes the fp32 ceiling.
+            dy = linalg.pcg(solve_fn, matvec, r2, max_iters=4 * cfg.refinement_steps)
+        else:
+            dy = solve_fn(r2).astype(r2.dtype)
         dy = jnp.where(prob.row_mask, dy, 0.0)
 
         dx = dinv * (rx - jnp.dot(A.T, dy, preferred_element_type=rx.dtype))
