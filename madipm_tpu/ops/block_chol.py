@@ -100,6 +100,63 @@ def chol_inv(S: jax.Array, base: int = _BASE):
     return L, W
 
 
+def _ldl_base(S):
+    """Unpivoted LDL' of a small tile: returns (L unit-lower, d, Linv)."""
+    s = S.shape[-1]
+    rows = jnp.arange(s)
+    L = jnp.zeros((s, s), S.dtype)
+    d = jnp.zeros(s, S.dtype)
+    M = S
+
+    def step(j, carry):
+        M, L, d = carry
+        dj = M[j, j]
+        l = jnp.where(rows > j, M[:, j] / dj, 0.0)
+        cf = l.at[j].set(1.0)
+        M = M - dj * cf[:, None] * cf[None, :]
+        L = L.at[:, j].set(cf)
+        d = d.at[j].set(dj)
+        return (M, L, d)
+
+    M, L, d = lax.fori_loop(0, s, step, (M, L, d))
+    return L, d, _tri_inv_base(L)
+
+
+def ldl_inv(S: jax.Array, base: int = _BASE):
+    """(L, d, Linv) of a symmetric quasi-definite S via the matmul recursion.
+
+    Unpivoted LDL' — valid for IPM-regularized augmented matrices
+    [Sigma+Q, A'; A, -delta] (symmetric quasi-definite => strongly
+    factorizable, Vanderbei).  Like :func:`chol_inv`, every op is a matmul
+    on static tiles, so solves are two matmuls + a diagonal scale and the
+    whole factorization compiles cleanly on TPU (no lax.linalg).
+    Replaces the reference's cuDSS ``MadNLP.LDL`` (scripts/benchmarks_gpu.jl:42).
+    """
+    n = S.shape[-1]
+    if n <= base or n % 2 != 0:
+        return _ldl_base(S)
+    h = n // 2
+    S11 = S[..., :h, :h]
+    S21 = S[..., h:, :h]
+    S22 = S[..., h:, h:]
+    L11, d1, W1 = ldl_inv(S11, base)
+    L21 = jnp.matmul(S21, W1.T) / d1[None, :]
+    T = S22 - jnp.matmul(L21 * d1[None, :], L21.T)
+    L22, d2, W2 = ldl_inv(T, base)
+    Z = jnp.zeros_like(S21.T)
+    W21 = -jnp.matmul(W2, jnp.matmul(L21, W1))
+    L = jnp.block([[L11, Z], [L21, L22]])
+    W = jnp.block([[W1, Z], [W21, W2]])
+    d = jnp.concatenate([d1, d2])
+    return L, d, W
+
+
+def ldl_inv_solve(Linv: jax.Array, d: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve S x = b given Linv = L^-1 and d: x = Linv' diag(1/d) Linv b."""
+    y = jnp.einsum("...ij,...j->...i", Linv, b) / d
+    return jnp.einsum("...ji,...j->...i", Linv, y)
+
+
 def chol_inv_solve(Linv: jax.Array, b: jax.Array) -> jax.Array:
     """Solve S x = b given Linv = L^-1: x = Linv' Linv b — two matmuls."""
     if b.ndim == Linv.ndim - 1:

@@ -168,6 +168,19 @@ def factorize(cfg: KKTConfig, prob: DeviceQP, x, zl, zu, del_w, del_c):
                     ),
                     ok,
                 )
+            elif cfg.linear_solver == LinearSolver.LDL_INV:
+                L, d, W = block_chol.ldl_inv(K)
+                ok = (
+                    jnp.all(jnp.isfinite(d))
+                    & jnp.all(d != 0)
+                    & jnp.all(jnp.isfinite(W))
+                )
+                return (
+                    AugmentedFactors(
+                        Lfac=W, dfac=d, sigma=sigma, del_c=jnp.asarray(dc, rdtype)
+                    ),
+                    ok,
+                )
             else:  # LDL
                 L, d = linalg.ldl_factor(K)
                 ok = linalg.ldl_is_ok(L, d)
@@ -256,6 +269,10 @@ def solve_condensed(cfg: KKTConfig, prob: DeviceQP, factors, rx, rp):
         )
         if cfg.linear_solver == LinearSolver.LU:
             solve_fn = lambda b: linalg.lu_solve(
+                factors.Lfac, factors.dfac, b.astype(factors.Lfac.dtype)
+            ).astype(rx.dtype)
+        elif cfg.linear_solver == LinearSolver.LDL_INV:
+            solve_fn = lambda b: block_chol.ldl_inv_solve(
                 factors.Lfac, factors.dfac, b.astype(factors.Lfac.dtype)
             ).astype(rx.dtype)
         else:

@@ -128,6 +128,7 @@ class LinearSolver(enum.Enum):
     CHOLESKY = "cholesky"
     CHOLESKY_INV = "cholesky_inv"
     LDL = "ldl"
+    LDL_INV = "ldl_inv"  # matmul-only LDL' with explicit inverse (TPU-fast)
     LU = "lu"
 
 

@@ -63,6 +63,43 @@ class TestLDL:
         assert float(jnp.max(jnp.abs(K @ x - b))) < 1e-8
 
 
+class TestLDLInv:
+    def test_quasi_definite_recursion(self, rng):
+        from madipm_tpu.ops.block_chol import ldl_inv, ldl_inv_solve
+
+        n, m = 96, 64
+        A = rng.standard_normal((m, n))
+        K = jnp.asarray(
+            np.block(
+                [[np.diag(rng.random(n) + 0.5), A.T], [A, -1e-8 * np.eye(m)]]
+            )
+        )
+        L, d, W = jax.jit(ldl_inv)(K)
+        rec = (L * d[None, :]) @ L.T
+        assert float(jnp.max(jnp.abs(rec - K))) < 1e-11
+        assert float(jnp.max(jnp.abs(W @ L - jnp.eye(n + m)))) < 1e-11
+        b = jnp.asarray(rng.standard_normal(n + m))
+        x = ldl_inv_solve(W, d, b)
+        assert float(jnp.max(jnp.abs(K @ x - b))) < 1e-10
+
+    def test_qp_solve_via_ldl_inv(self):
+        import madipm_tpu as mt
+
+        qp = mt.from_dense(
+            c=[0.0, 0.0], Q=np.eye(2), A=[[1.0, 1.0]], lcon=[2.0], ucon=[2.0],
+            lvar=[0.0, 0.0], uvar=[np.inf, np.inf],
+        )
+        for fd in (None, "float32"):
+            s = mt.madipm(
+                qp,
+                print_level=mt.PrintLevel.ERROR,
+                linear_solver=mt.LinearSolver.LDL_INV,
+                factor_dtype=fd,
+            )
+            assert s.success
+            assert s.objective == pytest.approx(1.0, abs=1e-7)
+
+
 class TestRefine:
     def test_fp32_factor_converges_fp64(self, rng):
         S = _spd(rng, 96, cond=1e6)
