@@ -33,26 +33,29 @@ _BASE = 16  # base-case size for the unrolled elimination
 
 
 def _tri_inv_base(L):
-    """Invert a small lower-triangular block by forward substitution."""
+    """Invert a lower-triangular block by Neumann doubling — pure matmuls.
+
+    Write L = D (I - N) with D = diag(L) and N strictly lower (nilpotent,
+    N^s = 0).  Then (I - N)^-1 = sum N^i, computed exactly by repeated
+    doubling: S_{m+1} = (I + R_m) S_m with R_{m+1} = R_m^2, R_0 = N — only
+    2*ceil(log2 s) matmuls and no sequential substitution loops (a forward
+    substitution would cost O(s^2) sequential steps, fatal for TPU latency).
+    Exact in exact arithmetic; used on small/diagonal blocks where the
+    conditioning is mild.
+    """
     s = L.shape[-1]
-    eye = jnp.eye(s, dtype=L.dtype)
-    rows = jnp.arange(s)
-
-    def body(j, X):
-        # X holds L^-1 columns computed so far; compute column j.
-        # Solve L x = e_j sequentially: x_i = (e_ij - sum_{k<i} L_ik x_k)/L_ii
-        # vectorized: standard column sweep.
-        col = eye[:, j]
-        x = jnp.zeros(s, L.dtype)
-
-        def inner(i, x):
-            val = (col[i] - jnp.dot(L[i, :], x)) / L[i, i]
-            return x.at[i].set(val)
-
-        x = lax.fori_loop(0, s, inner, x)
-        return X.at[:, j].set(x)
-
-    return lax.fori_loop(0, s, body, jnp.zeros((s, s), L.dtype))
+    if s == 1:
+        return 1.0 / L
+    d = jnp.diagonal(L)
+    M = L / d[:, None]  # unit lower: I - N
+    N = jnp.eye(s, dtype=L.dtype) - M  # strictly lower
+    S = jnp.eye(s, dtype=L.dtype) + N
+    R = N
+    steps = max(0, (s - 1).bit_length() - 1)
+    for _ in range(steps):
+        R = jnp.matmul(R, R)
+        S = S + jnp.matmul(R, S)
+    return S / d[None, :]
 
 
 def _chol_base(S):
@@ -63,18 +66,16 @@ def _chol_base(S):
     """
     s = S.shape[-1]
     rows = jnp.arange(s)
-    L = jnp.zeros((s, s), S.dtype)
     M = S
-
-    def step(j, carry):
-        M, L = carry
+    cols = []
+    # Unrolled (s is a small static size): each step is ~3 fused VPU ops,
+    # no while-loop per-iteration overhead.
+    for j in range(s):
         d = jnp.sqrt(M[j, j])
         col = jnp.where(rows >= j, M[:, j] / d, 0.0)
-        L = L.at[:, j].set(col)
+        cols.append(col)
         M = M - col[:, None] * col[None, :]
-        return (M, L)
-
-    M, L = lax.fori_loop(0, s, step, (M, L))
+    L = jnp.stack(cols, axis=1)
     return L, _tri_inv_base(L)
 
 
@@ -104,21 +105,18 @@ def _ldl_base(S):
     """Unpivoted LDL' of a small tile: returns (L unit-lower, d, Linv)."""
     s = S.shape[-1]
     rows = jnp.arange(s)
-    L = jnp.zeros((s, s), S.dtype)
-    d = jnp.zeros(s, S.dtype)
     M = S
-
-    def step(j, carry):
-        M, L, d = carry
+    cols = []
+    ds = []
+    for j in range(s):
         dj = M[j, j]
         l = jnp.where(rows > j, M[:, j] / dj, 0.0)
-        cf = l.at[j].set(1.0)
+        cf = jnp.where(rows == j, 1.0, l)
         M = M - dj * cf[:, None] * cf[None, :]
-        L = L.at[:, j].set(cf)
-        d = d.at[j].set(dj)
-        return (M, L, d)
-
-    M, L, d = lax.fori_loop(0, s, step, (M, L, d))
+        cols.append(cf)
+        ds.append(dj)
+    L = jnp.stack(cols, axis=1)
+    d = jnp.stack(ds)
     return L, d, _tri_inv_base(L)
 
 

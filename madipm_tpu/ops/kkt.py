@@ -215,7 +215,7 @@ def factorize(cfg: KKTConfig, prob: DeviceQP, x, zl, zu, del_w, del_c):
 # ---------------------------------------------------------------------------
 
 
-def solve_condensed(cfg: KKTConfig, prob: DeviceQP, factors, rx, rp):
+def solve_condensed(cfg: KKTConfig, prob: DeviceQP, factors, rx, rp, pcg_budget: Optional[int] = None):
     """Solve [Sigma+Q, A'; A, del_c][dx; dy] = [rx; rp].
 
     NORMAL path mirrors the reference's condensation stack
@@ -254,7 +254,14 @@ def solve_condensed(cfg: KKTConfig, prob: DeviceQP, factors, rx, rp):
         if cfg.refinement_steps > 0:
             # SPD system: fp64 PCG preconditioned by the fp32 factor beats
             # Richardson refinement once cond(S) passes the fp32 ceiling.
-            dy = linalg.pcg(solve_fn, matvec, r2, max_iters=4 * cfg.refinement_steps)
+            # Reduced-budget (predictor) solves settle for 1e-12 residuals;
+            # full-budget (corrector) solves drive to the fp64 floor.
+            if pcg_budget is not None:
+                dy = linalg.pcg(solve_fn, matvec, r2, max_iters=pcg_budget, rtol=1e-12)
+            else:
+                dy = linalg.pcg(
+                    solve_fn, matvec, r2, max_iters=4 * cfg.refinement_steps
+                )
         else:
             dy = solve_fn(r2).astype(r2.dtype)
         dy = jnp.where(prob.row_mask, dy, 0.0)

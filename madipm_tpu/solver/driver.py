@@ -365,9 +365,14 @@ def iteration(cfg: SolverConfig, prob: DeviceQP, state: IPMState) -> IPMState:
 
     solve = partial(kkt_ops.solve_condensed, cfg.kkt, prob, factors)
 
-    # Predictor (reference prediction_step!, src/solver.jl:230-237)
+    # Predictor (reference prediction_step!, src/solver.jl:230-237).
+    # The affine direction only shapes the centering heuristics, so it gets
+    # a reduced PCG budget; the corrector (the actual step) solves to full
+    # accuracy.
     rhs_aff = K.predictor_rhs(prob, x, y, zl, zu)
-    dx, dy = solve(rhs_aff.rx, rhs_aff.rp)
+    dx, dy = solve(
+        rhs_aff.rx, rhs_aff.rp, pcg_budget=max(2, cfg.kkt.refinement_steps // 2)
+    )
     dzl, dzu = K.recover_bound_duals(prob, x, zl, zu, rhs_aff, dx)
 
     a_aff_p, a_aff_d = K.fraction_to_boundary(prob, x, zl, zu, dx, dzl, dzu, 1.0)
