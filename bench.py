@@ -91,18 +91,18 @@ def bench_tpu(models, opts):
     compile_and_first = time.time() - t0
     log(f"tpu: first run (incl compile) {compile_and_first:.1f}s")
 
-    # Timed: R back-to-back solves with distinct rhs scalings.
+    # Timed: R back-to-back solves with distinct rhs scalings.  Completion
+    # is forced with a host fetch per run — jax.block_until_ready on this
+    # platform's tunnel arrays has been observed to return early.
     R = 3
     t0 = time.time()
-    states = []
+    iters_each = []
     for r in range(1, R + 1):
         _, scale, state = fn(probs, 1.0 + 1e-4 * r)
-        states.append(state)
-    jax.block_until_ready([s.k for s in states])
+        iters_each.append(int(np.sum(np.asarray(state.k))))
     wall = (time.time() - t0) / R
-    state = states[0]
     stats = batched_stats(models, scale, state, wall)
-    iters = int(np.mean([np.sum(np.asarray(s.k)) for s in states]))
+    iters = int(np.mean(iters_each))
     return iters, wall, stats
 
 
