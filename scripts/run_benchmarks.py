@@ -1,0 +1,224 @@
+#!/usr/bin/env python
+"""Benchmark sweep runner — the reference's scripts/benchmarks_{cpu,gpu}.jl
+equivalent (reference: scripts/benchmarks_gpu.jl:13-65).
+
+Protocol per instance (identical to the reference's):
+    import MPS (.mps/.sif, .gz, .bz2)  -> presolve -> Ruiz scaling
+    -> standard form -> solve (max_iter=300, FixedRegularization(1e-8,-1e-8),
+    tol=1e-8) -> record
+    instance nvar ncon nnzj nnzh status iter objective total_time solver_time
+
+Output: one TSV row per instance (the reference writes the same 10 columns,
+scripts/benchmarks_gpu.jl:47-56 + instance name), consumed by
+scripts/make_tables.py.
+
+Two execution modes:
+  --mode serial   one instance at a time (reference behavior; works on CPU)
+  --mode batched  bucket instances by padded shape and solve each bucket as
+                  ONE vmapped device program (the TPU-native sweep,
+                  parallel/batch.py) — per-instance wall time is then the
+                  bucket time / bucket size.
+
+With no instance directory, --synthetic N generates the self-measured
+synthetic Netlib-scale suite (BASELINE.md protocol) so the harness runs in
+air-gapped environments.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+MPS_EXTS = (".mps", ".sif", ".SIF", ".qps", ".mps.gz", ".sif.gz", ".mps.bz2", ".sif.bz2")
+
+
+def find_instances(src: str, listing: str | None, excluded: set[str]):
+    if listing:
+        with open(listing) as f:
+            names = [l.strip() for l in f if l.strip() and not l.startswith("#")]
+        return [os.path.join(src, n) for n in names if n not in excluded]
+    out = []
+    for fn in sorted(os.listdir(src)):
+        if fn.endswith(MPS_EXTS) and fn not in excluded:
+            out.append(os.path.join(src, fn))
+    return out
+
+
+def make_synthetic(k: int, seed0: int = 1234):
+    """Feasible-by-construction LPs at Netlib scale (self-measured baseline
+    per SURVEY §6: the reference repo publishes no numbers)."""
+    import madipm_tpu as mt
+
+    sizes = [(192, 384), (256, 512), (128, 256), (384, 768)]
+    models = []
+    for i in range(k):
+        m, n = sizes[i % len(sizes)]
+        rng = np.random.default_rng(seed0 + i)
+        A = rng.standard_normal((m, n)) * (rng.random((m, n)) < 0.3)
+        empty = np.flatnonzero(np.abs(A).sum(axis=1) == 0)
+        for r in empty:
+            A[r, rng.integers(n)] = 1.0
+        xstar = rng.random(n) + 0.5
+        b = A @ xstar
+        uvar = np.full(n, np.inf)
+        ub = rng.random(n) < 0.25
+        uvar[ub] = xstar[ub] + 3 * rng.random(ub.sum())
+        models.append(
+            mt.from_dense(
+                c=rng.random(n) + 0.1, A=A, lcon=b, ucon=b,
+                lvar=np.zeros(n), uvar=uvar, name=f"synth{i}",
+            )
+        )
+    return models
+
+
+def prepare(model, reformulate: bool):
+    """presolve -> Ruiz scale -> standard form (reference pipeline,
+    scripts/benchmarks_gpu.jl:28-32)."""
+    from madipm_tpu.models.presolve import presolve_qp
+    from madipm_tpu.models.qp import standard_form
+    from madipm_tpu.models.scale import scale_qp
+
+    pre, flag, _post = presolve_qp(model)
+    if not flag:
+        return None  # already solved / infeasible / unbounded in presolve
+    scaled, _ruiz = scale_qp(pre)
+    return standard_form(scaled) if reformulate else scaled
+
+
+def record_row(name, model, stats) -> str:
+    nnzj = model.A.nnz if hasattr(model.A, "nnz") else int(np.count_nonzero(model.A))
+    nnzh = 0
+    if model.Q is not None:
+        nnzh = model.Q.nnz if hasattr(model.Q, "nnz") else int(np.count_nonzero(model.Q))
+    cols = [
+        name, model.nvar, model.ncon, nnzj, nnzh,
+        int(stats.status), stats.iter, f"{stats.objective:.16e}",
+        f"{stats.total_time:.6f}", f"{stats.solver_time:.6f}",
+    ]
+    return "\t".join(str(c) for c in cols)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--src", help="directory of MPS/SIF instances (may be .gz/.bz2)")
+    ap.add_argument("--probs", help="file listing instance filenames (one per line)")
+    ap.add_argument("--exclude", help="file listing instances to skip")
+    ap.add_argument("--synthetic", type=int, default=0, help="generate N synthetic LPs instead of reading --src")
+    ap.add_argument("--mode", choices=["serial", "batched"], default="serial")
+    ap.add_argument("--out", default="benchmark-results.txt", help="output TSV path")
+    ap.add_argument("--max-iter", type=int, default=300)
+    ap.add_argument("--tol", type=float, default=1e-8)
+    ap.add_argument("--no-reformulate", action="store_true",
+                    help="skip standard-form reformulation (reference reformulate=false default)")
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import madipm_tpu as mt
+
+    opts = dict(
+        tol=args.tol,
+        max_iter=args.max_iter,
+        regularization=mt.FixedRegularization(1e-8, -1e-8),
+        print_level=mt.PrintLevel.ERROR,
+    )
+    if not args.cpu and jax.default_backend() != "cpu":
+        opts.update(
+            linear_solver=mt.LinearSolver.CHOLESKY_INV,
+            factor_dtype="float32",
+            refinement_steps=6,
+        )
+
+    # --- Collect instances
+    if args.synthetic:
+        named_models = [(m.name, m) for m in make_synthetic(args.synthetic)]
+    else:
+        if not args.src:
+            ap.error("--src or --synthetic required")
+        excluded = set()
+        if args.exclude:
+            with open(args.exclude) as f:
+                excluded = {l.strip() for l in f if l.strip()}
+        paths = find_instances(args.src, args.probs, excluded)
+        log(f"{len(paths)} instances from {args.src}")
+        named_models = []
+        for k, path in enumerate(paths):
+            name = os.path.basename(path)
+            log(f"{name} -- {k + 1} / {len(paths)}")
+            try:
+                named_models.append((name, mt.models.mps.read_mps(path)))
+            except Exception as e:  # reference: @warn "Failed to import"
+                log(f"failed to import {name}: {e}")
+
+    # --- Transform
+    prepared = []
+    for name, model in named_models:
+        try:
+            p = prepare(model, reformulate=not args.no_reformulate)
+        except Exception as e:
+            log(f"failed to transform {name}: {e}")
+            continue
+        if p is None:
+            log(f"{name}: solved in presolve, skipped")
+            continue
+        prepared.append((name, model, p))
+
+    # --- Solve + record
+    rows = []
+    if args.mode == "serial":
+        for name, model, p in prepared:
+            try:
+                stats = mt.madipm(p, **opts)
+                rows.append(record_row(name, p, stats))
+                log(f"{name}: status={stats.status.name} iter={stats.iter} "
+                    f"obj={stats.objective:.6e} time={stats.total_time:.3f}s")
+            except Exception as e:
+                log(f"failed to solve {name}: {e}")
+                rows.append("\t".join([name] + ["0"] * 6 + ["nan", "-1", "-1"]))
+    else:
+        from collections import defaultdict
+
+        from madipm_tpu.parallel.batch import madipm_batch
+
+        buckets = defaultdict(list)
+        pad = 128
+        for item in prepared:
+            p = item[2]
+            key = (-(-p.ncon // pad), -(-(p.nvar) // pad))
+            buckets[key].append(item)
+        for key, items in sorted(buckets.items()):
+            names = [i[0] for i in items]
+            log(f"bucket {key}: {len(items)} instances ({', '.join(names[:5])}...)")
+            t0 = time.time()
+            stats_list = madipm_batch([i[2] for i in items], **opts)
+            wall = time.time() - t0
+            per = wall / len(items)
+            for (name, _model, p), stats in zip(items, stats_list):
+                stats.total_time = per
+                stats.solver_time = per
+                rows.append(record_row(name, p, stats))
+                log(f"{name}: status={stats.status.name} iter={stats.iter} "
+                    f"obj={stats.objective:.6e} (bucket {wall:.3f}s / {len(items)})")
+
+    with open(args.out, "w") as f:
+        f.write("\n".join(rows) + "\n")
+    log(f"wrote {len(rows)} rows -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()
