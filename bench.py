@@ -84,23 +84,45 @@ def bench_tpu(models, opts):
 
     fn = jax.jit(_solve)
 
-    # Warmup/compile
+    # Materialize every input buffer on device with a REAL host round-trip
+    # BEFORE any timing.  On this platform's tunnel, jax.block_until_ready
+    # returns early and host->device uploads complete lazily at erratic
+    # bandwidth (observed 30-500s for ~15 MB); without this, the first
+    # timed run silently pays for the transfers.
+    t0 = time.time()
+    touch = jax.jit(
+        lambda p: jax.tree_util.tree_reduce(
+            lambda a, b: a + b,
+            jax.tree_util.tree_map(
+                lambda x: jnp.sum(jnp.where(jnp.isfinite(x), x, 0.0).astype(jnp.float64)),
+                p,
+            ),
+        )
+    )
+    np.asarray(touch(probs))
+    log(f"tpu: input materialization {time.time() - t0:.1f}s")
+
+    # Warmup/compile; completion forced with a host fetch (NOT
+    # block_until_ready, which lies here).
     t0 = time.time()
     _, scale, state = fn(probs, 1.0)
-    jax.block_until_ready(state.k)
+    np.asarray(state.k)
     compile_and_first = time.time() - t0
     log(f"tpu: first run (incl compile) {compile_and_first:.1f}s")
 
-    # Timed: R back-to-back solves with distinct rhs scalings.  Completion
-    # is forced with a host fetch per run — jax.block_until_ready on this
-    # platform's tunnel arrays has been observed to return early.
+    # Timed: R back-to-back solves with distinct rhs scalings, each
+    # individually synced by fetching the iteration counts.  Median wall
+    # time is reported (robust to a straggler tunnel RPC).
     R = 3
-    t0 = time.time()
+    walls = []
     iters_each = []
     for r in range(1, R + 1):
+        t0 = time.time()
         _, scale, state = fn(probs, 1.0 + 1e-4 * r)
         iters_each.append(int(np.sum(np.asarray(state.k))))
-    wall = (time.time() - t0) / R
+        walls.append(time.time() - t0)
+        log(f"tpu: run {r}: {walls[-1]:.3f}s, {iters_each[-1]} iters")
+    wall = float(np.median(walls))
     stats = batched_stats(models, scale, state, wall)
     iters = int(np.mean(iters_each))
     return iters, wall, stats

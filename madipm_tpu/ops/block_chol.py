@@ -65,7 +65,9 @@ def _chol_base(S):
     like jnp.linalg.cholesky).
     """
     s = S.shape[-1]
-    rows = jnp.arange(s)
+    # int32 iota: int64 vectors are unrepresentable in Pallas TPU kernels
+    # (VectorLayout requires bitwidth <= 32) and needlessly emulated elsewhere.
+    rows = jnp.arange(s, dtype=jnp.int32)
     M = S
     cols = []
     # Unrolled (s is a small static size): each step is ~3 fused VPU ops,
@@ -104,7 +106,7 @@ def chol_inv(S: jax.Array, base: int = _BASE):
 def _ldl_base(S):
     """Unpivoted LDL' of a small tile: returns (L unit-lower, d, Linv)."""
     s = S.shape[-1]
-    rows = jnp.arange(s)
+    rows = jnp.arange(s, dtype=jnp.int32)
     M = S
     cols = []
     ds = []

@@ -38,7 +38,7 @@ from jax import lax
 
 from ..models.qp import DeviceQP
 from ..utils.options import KKTSystem, LinearSolver
-from . import block_chol, linalg
+from . import block_chol, linalg, pallas_chol
 
 
 @dataclasses.dataclass(frozen=True)
@@ -50,6 +50,10 @@ class KKTConfig:
     factor_dtype: jnp.dtype
     refinement_steps: int = 2
     max_factor_trials: int = 3  # reference: src/linear_solver.jl:7
+    #: fuse the Cholesky into one Pallas VMEM kernel (TPU only; the plain
+    #: XLA recursion lowers to ~1000 tiny ops whose dispatch overhead
+    #: dominates the factorization at KKT sizes)
+    use_pallas: bool = False
 
 
 class NormalFactors(NamedTuple):
@@ -147,7 +151,10 @@ def factorize(cfg: KKTConfig, prob: DeviceQP, x, zl, zu, del_w, del_c):
             jac = jax.lax.rsqrt(jnp.maximum(dS, jnp.finfo(cfg.factor_dtype).tiny))
             Shat = S * jac[:, None] * jac[None, :]
             if cfg.linear_solver == LinearSolver.CHOLESKY_INV:
-                Lc, W = block_chol.chol_inv(Shat)
+                if cfg.use_pallas and Shat.shape[-1] <= pallas_chol.MAX_VMEM_N_INV:
+                    Lc, W = pallas_chol.pallas_chol_inv(Shat)
+                else:
+                    Lc, W = block_chol.chol_inv(Shat)
                 ok = linalg.cholesky_is_ok(Lc) & jnp.all(jnp.isfinite(W))
                 fac = W  # store the inverse factor; solves are matmuls
             else:

@@ -1,21 +1,36 @@
-"""Pallas fused blocked Cholesky kernel.
+"""Pallas fused blocked Cholesky kernels.
 
 The cuDSS-replacement factorization (BASELINE.md north star: "Pallas
 Cholesky/LDL^T factorization replacing cuDSS") as a single TPU kernel: the
 whole (padded) normal matrix lives in VMEM for the duration of the
-factorization — no HBM round-trips between panel steps, unlike the XLA
-``lax.linalg.cholesky`` lowering which streams blocks through HBM.
+factorization — no HBM round-trips between panel steps, and no per-op XLA
+dispatch overhead.  The plain-JAX recursion in ops/block_chol.py lowers to
+~1000 tiny XLA ops for a 256x256 factorization; at ~5-10 us dispatch each
+that is ~10 ms of pure overhead per IPM iteration.  Fusing the whole
+factorization into one kernel removes it.
 
-Algorithm: right-looking blocked Cholesky with 128-wide panels; each
-diagonal block is factored by the matmul-only recursion of
-ops/block_chol.py (which also yields the block inverse, so the panel
-"triangular solve" is a plain MXU matmul).  Fits problems up to
-N ~ 1500 (fp32) in 16 MB VMEM; callers fall back to the plain-JAX
-recursion above that.
+Two kernels:
 
-A batched variant factors a stack of same-size matrices with one kernel
-launch (grid over the batch dimension) — the vmapped-IPM sweep pattern
-(parallel/batch.py).
+- :func:`pallas_cholesky` — lower Cholesky factor L (right-looking blocked,
+  128-wide panels; diagonal blocks via the matmul-only recursion of
+  ops/block_chol.py, which also yields the block inverse so the panel
+  "triangular solve" is a plain MXU matmul).
+- :func:`pallas_chol_inv` — (L, L^-1) in one kernel: the factorization
+  sweep above, then a blocked lower-triangular inversion
+  (Linv[i,k] = -Wii @ sum_j L[i,j] @ Linv[j,k]) entirely in VMEM.  L^-1 is
+  what the solver wants: every subsequent back-solve is two MXU matmuls
+  (ops/block_chol.chol_inv_solve), with no sequential triangular solves.
+
+Batched (B, N, N) inputs map to a grid over instances — one kernel launch
+factors the whole vmapped-IPM stack (parallel/batch.py).
+
+Constraints: N multiple of the 128 panel; VMEM residency caps N (~1280 at
+fp32 for the 2-buffer inverse kernel in 16 MB); all index vectors are int32
+(64-bit vectors are unrepresentable in TPU VectorLayout — bare
+``jnp.arange`` under x64 crashes the backend compiler).  Failure semantics:
+NaNs in the output signal an indefinite matrix, matching
+``jnp.linalg.cholesky`` (feeds the regularization retry loop, reference
+src/linear_solver.jl:6-17).
 """
 
 from __future__ import annotations
@@ -30,18 +45,21 @@ from jax.experimental.pallas import tpu as pltpu
 from .block_chol import chol_inv
 
 _BLOCK = 128
-#: largest N the VMEM-resident kernel accepts (2 buffers * N^2 * 4B < 16MB)
+#: largest N the VMEM-resident factor-only kernel accepts
 MAX_VMEM_N = 1280
+#: largest N for the (L, Linv) kernel (3 resident buffers)
+MAX_VMEM_N_INV = 1024
 
 
-def _chol_kernel(s_ref, l_ref, nblocks: int, block: int):
-    n = s_ref.shape[-1]
-    # Work in l_ref: start from S, overwrite with L (strict upper zeroed).
-    l_ref[...] = s_ref[...]
+def _factor_sweep(l_ref, nblocks: int, block: int, winv_blocks: list):
+    """Right-looking blocked Cholesky in-place in ``l_ref``; appends each
+    diagonal block's inverse to ``winv_blocks`` (traced values)."""
+    n = l_ref.shape[-1]
     for k in range(nblocks):
         j0, j1 = k * block, (k + 1) * block
         skk = l_ref[j0:j1, j0:j1]
         lkk, wkk = chol_inv(skk)  # static matmul recursion, inlined
+        winv_blocks.append(wkk)
         l_ref[j0:j1, j0:j1] = lkk
         if j1 < n:
             panel = l_ref[j1:, j0:j1]
@@ -51,23 +69,65 @@ def _chol_kernel(s_ref, l_ref, nblocks: int, block: int):
             l_ref[j1:, j1:] = l_ref[j1:, j1:] - jnp.dot(
                 lp, lp.T, preferred_element_type=lp.dtype
             )
-    # Zero the strict upper triangle.
+
+
+def _zero_upper(l_ref):
+    n = l_ref.shape[-1]
     rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     l_ref[...] = jnp.where(rows >= cols, l_ref[...], 0.0)
 
 
+def _chol_kernel(s_ref, l_ref, nblocks: int, block: int):
+    l_ref[...] = s_ref[...]
+    _factor_sweep(l_ref, nblocks, block, [])
+    _zero_upper(l_ref)
+
+
+def _chol_inv_kernel(s_ref, l_ref, w_ref, nblocks: int, block: int):
+    l_ref[...] = s_ref[...]
+    winv: list = []
+    _factor_sweep(l_ref, nblocks, block, winv)
+    _zero_upper(l_ref)
+    # Blocked lower-triangular inversion, column block by column block:
+    #   Linv[k,k] = Wkk
+    #   Linv[i,k] = -Wii @ (sum_{k<=j<i} L[i,j] @ Linv[j,k]),  i > k
+    # ~nb^3/6 MXU matmuls, all VMEM-resident.
+    w_ref[...] = jnp.zeros_like(w_ref)
+    for k in range(nblocks):
+        k0, k1 = k * block, (k + 1) * block
+        w_ref[k0:k1, k0:k1] = winv[k]
+        for i in range(k + 1, nblocks):
+            i0, i1 = i * block, (i + 1) * block
+            acc = jnp.dot(
+                l_ref[i0:i1, k0:i0], w_ref[k0:i0, k0:k1],
+                preferred_element_type=w_ref.dtype,
+            )
+            w_ref[i0:i1, k0:k1] = -jnp.dot(
+                winv[i], acc, preferred_element_type=w_ref.dtype
+            )
+
+
+def _call(kernel, S, n_out: int, interpret: bool):
+    n = S.shape[-1]
+    out_shape = [jax.ShapeDtypeStruct(S.shape[-2:], S.dtype)] * n_out
+    call = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_out,
+        interpret=interpret,
+    )
+    if S.ndim == 3:
+        # vmap adds a leading grid dimension over instances — one kernel
+        # launch factors the whole stack (the batched-sweep pattern).
+        return jax.vmap(call)(S)
+    return call(S)
+
+
 @functools.partial(jax.jit, static_argnames=("block", "interpret"))
 def pallas_cholesky(S: jax.Array, block: int = _BLOCK, interpret: bool = False):
-    """Lower Cholesky factor of SPD ``S`` via one fused VMEM-resident kernel.
-
-    ``S`` may be (N, N) or batched (B, N, N); N must be a multiple of
-    ``block`` (the solver pads to lane multiples anyway).  NaNs in the
-    output signal an indefinite matrix, matching ``jnp.linalg.cholesky``
-    failure semantics (feeds the regularization retry loop,
-    reference src/linear_solver.jl:6-17).
-    """
-    batched = S.ndim == 3
+    """Lower Cholesky factor of SPD ``S`` ((N,N) or (B,N,N))."""
     n = S.shape[-1]
     if n % block != 0:
         raise ValueError(f"N={n} must be a multiple of block={block}")
@@ -76,18 +136,27 @@ def pallas_cholesky(S: jax.Array, block: int = _BLOCK, interpret: bool = False):
             f"N={n} exceeds the VMEM-resident limit {MAX_VMEM_N}; use "
             "ops.block_chol.chol_inv for larger systems"
         )
-    nblocks = n // block
-    kernel = functools.partial(_chol_kernel, nblocks=nblocks, block=block)
+    kernel = functools.partial(_chol_kernel, nblocks=n // block, block=block)
+    (L,) = _call(kernel, S, 1, interpret)
+    return L
 
-    call = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct(S.shape[-2:], S.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )
-    if batched:
-        # vmap adds a leading grid dimension over instances — one kernel
-        # launch factors the whole stack (the batched-sweep pattern).
-        return jax.vmap(call)(S)
-    return call(S)
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def pallas_chol_inv(S: jax.Array, block: int = _BLOCK, interpret: bool = False):
+    """(L, L^-1) of SPD ``S`` ((N,N) or (B,N,N)) in one fused kernel.
+
+    Drop-in accelerated replacement for ops/block_chol.chol_inv on sizes
+    that fit VMEM; the solver's factorize path dispatches here
+    automatically (ops/kkt.py).
+    """
+    n = S.shape[-1]
+    if n % block != 0:
+        raise ValueError(f"N={n} must be a multiple of block={block}")
+    if n > MAX_VMEM_N_INV:
+        raise ValueError(
+            f"N={n} exceeds the VMEM-resident limit {MAX_VMEM_N_INV}; use "
+            "ops.block_chol.chol_inv for larger systems"
+        )
+    kernel = functools.partial(_chol_inv_kernel, nblocks=n // block, block=block)
+    L, W = _call(kernel, S, 2, interpret)
+    return L, W

@@ -77,12 +77,20 @@ def make_config(opt: IPMOptions, is_qp: bool, dtype=jnp.float64) -> SolverConfig
     # Refinement sweeps only pay off when the factor runs below the residual
     # precision (fp32 factor + fp64 residuals); same-precision factors skip it.
     refinement = opt.refinement_steps if factor_dtype != jnp.dtype(dtype) else 0
+    use_pallas = opt.use_pallas
+    if use_pallas is None:
+        # Auto: the fused kernel is a dispatch-overhead optimization for the
+        # real TPU; on CPU the interpret path would be slower than XLA.
+        import jax as _jax
+
+        use_pallas = _jax.default_backend() == "tpu"
     kcfg = KKTConfig(
         kind=kind,
         linear_solver=opt.resolved_linear_solver(kind),
         factor_dtype=factor_dtype,
         refinement_steps=refinement,
         max_factor_trials=3,
+        use_pallas=use_pallas,
     )
     return SolverConfig(
         kkt=kcfg,

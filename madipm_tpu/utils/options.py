@@ -209,6 +209,12 @@ class IPMOptions:
     # + refinement on TPU). None = pick by backend.
     factor_dtype: Optional[str] = None
 
+    #: fuse the fp32 Cholesky into one Pallas VMEM kernel.  None = auto
+    #: (enabled on the TPU backend when the system fits VMEM).  The plain
+    #: XLA lowering of the recursion spends ~10 ms/iteration in op-dispatch
+    #: overhead at KKT sizes; the fused kernel removes it.
+    use_pallas: Optional[bool] = None
+
     def resolved_kkt(self, is_qp: bool) -> KKTSystem:
         if self.kkt_system is not None:
             return self.kkt_system

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from madipm_tpu.ops import linalg
 from madipm_tpu.ops.block_chol import chol_inv, chol_inv_solve
-from madipm_tpu.ops.pallas_chol import pallas_cholesky
+from madipm_tpu.ops.pallas_chol import pallas_chol_inv, pallas_cholesky
 
 
 def _spd(rng, n, cond=1e4, dtype=np.float64):
@@ -167,3 +167,35 @@ class TestPallasCholesky:
             pallas_cholesky(jnp.eye(100), interpret=True)
         with pytest.raises(ValueError, match="VMEM"):
             pallas_cholesky(jnp.eye(2048), interpret=True)
+
+
+class TestPallasCholInv:
+    """The fused (L, L^-1) kernel the TPU factorize path dispatches to."""
+
+    @pytest.mark.parametrize("n", [128, 256, 384])
+    def test_inverse_factor(self, rng, n):
+        S = _spd(rng, n, dtype=np.float32) + 0.1 * jnp.eye(n, dtype=jnp.float32)
+        L, W = pallas_chol_inv(S, interpret=True)
+        ref = jnp.linalg.cholesky(S.astype(jnp.float64))
+        assert float(jnp.max(jnp.abs(L.astype(jnp.float64) - ref))) < 1e-3
+        # W = L^-1: W @ L = I
+        eye_err = float(jnp.max(jnp.abs(
+            W.astype(jnp.float64) @ ref - jnp.eye(n, dtype=jnp.float64))))
+        assert eye_err < 1e-3
+
+    def test_batched_matches_block_chol(self, rng):
+        from madipm_tpu.ops import block_chol
+
+        S = jnp.stack([
+            _spd(rng, 256, dtype=np.float32) + 0.1 * jnp.eye(256, dtype=jnp.float32)
+            for _ in range(3)
+        ])
+        L, W = pallas_chol_inv(S, interpret=True)
+        Lr, Wr = jax.vmap(block_chol.chol_inv)(S)
+        assert float(jnp.max(jnp.abs(L - Lr))) < 1e-2
+        assert float(jnp.max(jnp.abs(W - Wr))) < 1e-2
+
+    def test_nan_on_indefinite(self):
+        S = -jnp.eye(128, dtype=jnp.float32)
+        L, W = pallas_chol_inv(S, interpret=True)
+        assert bool(jnp.any(jnp.isnan(L)))
