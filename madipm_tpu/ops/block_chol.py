@@ -42,20 +42,32 @@ def _tri_inv_base(L):
     substitution would cost O(s^2) sequential steps, fatal for TPU latency).
     Exact in exact arithmetic; used on small/diagonal blocks where the
     conditioning is mild.
+
+    Every intermediate is kept 2-D (the diagonal as (s,1)/(1,s) via masked
+    reductions, no ``jnp.diagonal``): Mosaic's TPU vector-layout inference
+    cannot represent 1-D vectors, and this function is inlined into the
+    Pallas factorization kernel (ops/pallas_chol.py).
     """
     s = L.shape[-1]
     if s == 1:
         return 1.0 / L
-    d = jnp.diagonal(L)
-    M = L / d[:, None]  # unit lower: I - N
-    N = jnp.eye(s, dtype=L.dtype) - M  # strictly lower
-    S = jnp.eye(s, dtype=L.dtype) + N
+    # Identity built from thin iotas, NOT jnp.eye: materialized array
+    # constants are unlowerable inside Pallas TPU kernels (Mosaic aborts),
+    # while broadcast comparisons of (s,1)/(1,s) iotas lower cleanly.
+    rows_c = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0)
+    cols_r = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)
+    eye = (rows_c == cols_r).astype(L.dtype)
+    dcol = jnp.sum(L * eye, axis=-1, keepdims=True)  # (s,1) diagonal
+    M = L / dcol  # unit lower: I - N
+    N = eye - M  # strictly lower
+    S = eye + N
     R = N
     steps = max(0, (s - 1).bit_length() - 1)
     for _ in range(steps):
         R = jnp.matmul(R, R)
         S = S + jnp.matmul(R, S)
-    return S / d[None, :]
+    drow = jnp.sum(L * eye, axis=-2, keepdims=True)  # (1,s)
+    return S / drow
 
 
 def _chol_base(S):
@@ -63,21 +75,26 @@ def _chol_base(S):
 
     Returns (L, Linv).  NaNs propagate on non-SPD input (failure signal,
     like jnp.linalg.cholesky).
+
+    2-D-only formulation (column slices stay (s,1), the factor accumulates
+    through one-hot outer products, iotas are 2-D int32): required for
+    inlining into the Pallas TPU kernel — Mosaic cannot lay out 1-D
+    vectors or 64-bit types.  Unrolled (s is a small static size).
     """
     s = S.shape[-1]
-    # int32 iota: int64 vectors are unrepresentable in Pallas TPU kernels
-    # (VectorLayout requires bitwidth <= 32) and needlessly emulated elsewhere.
-    rows = jnp.arange(s, dtype=jnp.int32)
+    if s == 1:
+        L = jnp.sqrt(S)
+        return L, 1.0 / L
+    rows_c = jax.lax.broadcasted_iota(jnp.int32, (s, 1), 0)  # (s,1)
+    cols_r = jax.lax.broadcasted_iota(jnp.int32, (1, s), 1)  # (1,s)
     M = S
-    cols = []
-    # Unrolled (s is a small static size): each step is ~3 fused VPU ops,
-    # no while-loop per-iteration overhead.
+    L = jnp.zeros_like(S)
     for j in range(s):
-        d = jnp.sqrt(M[j, j])
-        col = jnp.where(rows >= j, M[:, j] / d, 0.0)
-        cols.append(col)
-        M = M - col[:, None] * col[None, :]
-    L = jnp.stack(cols, axis=1)
+        dinv = jax.lax.rsqrt(M[j : j + 1, j : j + 1])  # (1,1)
+        col = jnp.where(rows_c >= j, M[:, j : j + 1] * dinv, 0.0)  # (s,1)
+        onehot = (cols_r == j).astype(S.dtype)  # (1,s)
+        L = L + jnp.matmul(col, onehot)
+        M = M - jnp.matmul(col, col.T)
     return L, _tri_inv_base(L)
 
 

@@ -61,6 +61,8 @@ class NormalFactors(NamedTuple):
     jac: jax.Array  # Jacobi scale d_i = 1/sqrt(S_ii) (factor dtype)
     dinv: jax.Array  # Sigma^-1 with fixed/padded columns zeroed (residual dtype)
     del_c: jax.Array  # dual regularization used in this factorization
+    live: jax.Array  # rows actually coupled to variables (excludes padded AND
+    #                  empty rows, whose normal diagonal would be -del_c <= 0)
 
 
 class AugmentedFactors(NamedTuple):
@@ -68,6 +70,7 @@ class AugmentedFactors(NamedTuple):
     dfac: jax.Array  # LDL: diagonal d; LU: pivot indices
     sigma: jax.Array  # barrier diagonal (residual dtype, for refinement matvec)
     del_c: jax.Array
+    live: jax.Array  # as above: structurally nonempty constraint rows
 
 
 # ---------------------------------------------------------------------------
@@ -95,11 +98,19 @@ def build_sigma(prob: DeviceQP, x, zl, zu, del_w):
 
 
 def _assemble_normal(prob: DeviceQP, sigma, del_c, factor_dtype):
-    """S = A Sigma^-1 A' - del_c I with padded rows pinned to identity.
+    """S = A Sigma^-1 A' - del_c I with degenerate rows pinned to identity.
 
     Assembled directly in the *factor* dtype so the O(m^2 n) matmul runs at
     full MXU rate when factoring in fp32; the fp64 refinement operator never
     materializes S (it applies A twice instead, see solve_condensed).
+
+    Pinned ("non-live") rows are the padded rows AND structurally empty real
+    rows (all-zero A row, or nonzeros only on fixed columns): their normal
+    diagonal would be exactly -del_c, which is <= 0 for the reference's
+    default ``FixedRegularization(1e-10, 1e-10)`` (src/utils.jl:91) — not
+    SPD.  The reference never sees this because an LP with such rows either
+    goes through presolve (empty-row elimination) or errors; here the direct
+    ``madipm()`` path must survive it, so dy on those rows is simply 0.
     """
     free = prob.free_mask
     dinv = jnp.where(free, 1.0 / sigma, 0.0)
@@ -107,26 +118,31 @@ def _assemble_normal(prob: DeviceQP, sigma, del_c, factor_dtype):
     df = dinv.astype(factor_dtype)
     # One MXU matmul: (m,n) * (n,) -> (m,n) @ (n,m)
     S = jnp.dot(Af * df[None, :], Af.T, preferred_element_type=factor_dtype)
-    diag_add = jnp.where(
-        prob.row_mask, -jnp.asarray(del_c, factor_dtype), 1.0 - jnp.diagonal(S)
-    )
+    dS = jnp.diagonal(S)
+    live = prob.row_mask & (dS > 0)
+    diag_add = jnp.where(live, -jnp.asarray(del_c, factor_dtype), 1.0 - dS)
     S = S + jnp.diag(diag_add)
-    return S, dinv
+    return S, dinv, live
 
 
 def _assemble_augmented(prob: DeviceQP, sigma, del_c, factor_dtype):
-    """K = [Sigma+Q, A'; A, del_c I], masked columns/rows pinned."""
+    """K = [Sigma+Q, A'; A, del_c I], masked columns/rows pinned.
+
+    Structurally empty rows (see _assemble_normal) are pinned to 1 like
+    padded rows: with a tiny del_c their pivot would be ~0 and dy garbage.
+    """
     free = prob.free_mask
     A_eff = (prob.A * free[None, :]).astype(factor_dtype)
     H = jnp.diag(sigma.astype(factor_dtype))
     if prob.Q is not None:
         Qm = (prob.Q * free[None, :] * free[:, None]).astype(factor_dtype)
         H = H + Qm
-    du = jnp.where(prob.row_mask, jnp.asarray(del_c, factor_dtype), 1.0)
-    # del_c == 0 with padded rows already pinned; live rows keep del_c (may be 0:
-    # the augmented matrix stays nonsingular if A has full row rank).
+    live = prob.row_mask & (jnp.sum(A_eff * A_eff, axis=1) > 0)
+    du = jnp.where(live, jnp.asarray(del_c, factor_dtype), 1.0)
+    # live rows keep del_c (may be 0: the augmented matrix stays
+    # nonsingular if A has full row rank).
     K = jnp.block([[H, A_eff.T], [A_eff, jnp.diag(du)]])
-    return K
+    return K, live
 
 
 def factorize(cfg: KKTConfig, prob: DeviceQP, x, zl, zu, del_w, del_c):
@@ -141,7 +157,7 @@ def factorize(cfg: KKTConfig, prob: DeviceQP, x, zl, zu, del_w, del_c):
     def attempt(dw, dc):
         sigma = build_sigma(prob, x, zl, zu, dw)
         if cfg.kind == KKTSystem.NORMAL:
-            S, dinv = _assemble_normal(prob, sigma, dc, cfg.factor_dtype)
+            S, dinv, live = _assemble_normal(prob, sigma, dc, cfg.factor_dtype)
             # Jacobi (diagonal) scaling before the low-precision factor: the
             # IPM normal matrix's ill-conditioning is mostly diagonal, so
             # D^-1/2 S D^-1/2 keeps fp32 Cholesky + fp64 refinement
@@ -161,17 +177,21 @@ def factorize(cfg: KKTConfig, prob: DeviceQP, x, zl, zu, del_w, del_c):
                 fac = linalg.cholesky_factor(Shat)
                 ok = linalg.cholesky_is_ok(fac)
             return (
-                NormalFactors(L=fac, jac=jac, dinv=dinv, del_c=jnp.asarray(dc, rdtype)),
+                NormalFactors(
+                    L=fac, jac=jac, dinv=dinv,
+                    del_c=jnp.asarray(dc, rdtype), live=live,
+                ),
                 ok,
             )
         else:
-            K = _assemble_augmented(prob, sigma, dc, cfg.factor_dtype)
+            K, live = _assemble_augmented(prob, sigma, dc, cfg.factor_dtype)
             if cfg.linear_solver == LinearSolver.LU:
                 lu, piv = linalg.lu_factor(K)
                 ok = linalg.lu_is_ok(lu)
                 return (
                     AugmentedFactors(
-                        Lfac=lu, dfac=piv, sigma=sigma, del_c=jnp.asarray(dc, rdtype)
+                        Lfac=lu, dfac=piv, sigma=sigma,
+                        del_c=jnp.asarray(dc, rdtype), live=live,
                     ),
                     ok,
                 )
@@ -184,7 +204,8 @@ def factorize(cfg: KKTConfig, prob: DeviceQP, x, zl, zu, del_w, del_c):
                 )
                 return (
                     AugmentedFactors(
-                        Lfac=W, dfac=d, sigma=sigma, del_c=jnp.asarray(dc, rdtype)
+                        Lfac=W, dfac=d, sigma=sigma,
+                        del_c=jnp.asarray(dc, rdtype), live=live,
                     ),
                     ok,
                 )
@@ -193,7 +214,8 @@ def factorize(cfg: KKTConfig, prob: DeviceQP, x, zl, zu, del_w, del_c):
                 ok = linalg.ldl_is_ok(L, d)
                 return (
                     AugmentedFactors(
-                        Lfac=L, dfac=d, sigma=sigma, del_c=jnp.asarray(dc, rdtype)
+                        Lfac=L, dfac=d, sigma=sigma,
+                        del_c=jnp.asarray(dc, rdtype), live=live,
                     ),
                     ok,
                 )
@@ -234,10 +256,11 @@ def solve_condensed(cfg: KKTConfig, prob: DeviceQP, factors, rx, rp, pcg_budget:
     """
     A = prob.A
     if isinstance(factors, NormalFactors):
+        live = factors.live
         dinv = factors.dinv
         r1 = dinv * rx
         r2 = jnp.dot(A, r1, preferred_element_type=rx.dtype) - rp
-        r2 = jnp.where(prob.row_mask, r2, 0.0)
+        r2 = jnp.where(live, r2, 0.0)
 
         jac = factors.jac
 
@@ -256,7 +279,7 @@ def solve_condensed(cfg: KKTConfig, prob: DeviceQP, factors, rx, rp, pcg_budget:
                 A, dinv * jnp.dot(A.T, v, preferred_element_type=rx.dtype),
                 preferred_element_type=rx.dtype,
             ) - factors.del_c * v
-            return jnp.where(prob.row_mask, sv, v)
+            return jnp.where(live, sv, v)
 
         if cfg.refinement_steps > 0:
             # SPD system: fp64 PCG preconditioned by the fp32 factor beats
@@ -271,15 +294,16 @@ def solve_condensed(cfg: KKTConfig, prob: DeviceQP, factors, rx, rp, pcg_budget:
                 )
         else:
             dy = solve_fn(r2).astype(r2.dtype)
-        dy = jnp.where(prob.row_mask, dy, 0.0)
+        dy = jnp.where(live, dy, 0.0)
 
         dx = dinv * (rx - jnp.dot(A.T, dy, preferred_element_type=rx.dtype))
         return dx, dy
     else:
         n = prob.n
         free = prob.free_mask
+        live = factors.live
         rhs = jnp.concatenate(
-            [jnp.where(free, rx, 0.0), jnp.where(prob.row_mask, rp, 0.0)]
+            [jnp.where(free, rx, 0.0), jnp.where(live, rp, 0.0)]
         )
         if cfg.linear_solver == LinearSolver.LU:
             solve_fn = lambda b: linalg.lu_solve(
@@ -303,12 +327,12 @@ def solve_condensed(cfg: KKTConfig, prob: DeviceQP, factors, rx, rp, pcg_budget:
                     prob.Q, jnp.where(free, vx, 0.0), preferred_element_type=rx.dtype
                 )
             ax = jnp.dot(A, jnp.where(free, vx, 0.0), preferred_element_type=rx.dtype)
-            aty = jnp.dot(A.T, jnp.where(prob.row_mask, vy, 0.0), preferred_element_type=rx.dtype)
+            aty = jnp.dot(A.T, jnp.where(live, vy, 0.0), preferred_element_type=rx.dtype)
             top = jnp.where(free, hx + aty, vx)
-            bot = jnp.where(prob.row_mask, ax + factors.del_c * vy, vy)
+            bot = jnp.where(live, ax + factors.del_c * vy, vy)
             return jnp.concatenate([top, bot])
 
         sol = linalg.refine(solve_fn, matvec, rhs, cfg.refinement_steps)
         dx = jnp.where(free, sol[:n], 0.0)
-        dy = jnp.where(prob.row_mask, sol[n:], 0.0)
+        dy = jnp.where(live, sol[n:], 0.0)
         return dx, dy

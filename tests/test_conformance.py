@@ -1,0 +1,256 @@
+"""Model-shape conformance sweep through the public API.
+
+The analogue of the reference's MOI.Test conformance run
+(test/MOI_wrapper.jl:8-27 runs the full upstream suite with bridges):
+every structural shape an LP/QP front-end can produce — ranged rows, fixed
+variables, free variables, maximize, bounds-only, constants — is pushed
+through ``madipm`` and differentially checked against scipy HiGHS.
+"""
+
+import numpy as np
+import pytest
+
+import madipm_tpu as mt
+
+OPTS = dict(print_level=mt.PrintLevel.ERROR)
+
+
+def _highs(c, A, lcon, ucon, lvar, uvar):
+    from scipy.optimize import linprog
+
+    bounds = [
+        (l if np.isfinite(l) else None, u if np.isfinite(u) else None)
+        for l, u in zip(lvar, uvar)
+    ]
+    A = np.atleast_2d(np.asarray(A, dtype=float))
+    lcon = np.asarray(lcon, float)
+    ucon = np.asarray(ucon, float)
+    eq = lcon == ucon
+    kw = {}
+    if eq.any():
+        kw["A_eq"] = A[eq]
+        kw["b_eq"] = lcon[eq]
+    ineq = ~eq
+    if ineq.any():
+        # two-sided rows -> pairs of <= rows
+        Aub, bub = [], []
+        for row, l, u in zip(A[ineq], lcon[ineq], ucon[ineq]):
+            if np.isfinite(u):
+                Aub.append(row)
+                bub.append(u)
+            if np.isfinite(l):
+                Aub.append(-row)
+                bub.append(-l)
+        if Aub:
+            kw["A_ub"] = np.array(Aub)
+            kw["b_ub"] = np.array(bub)
+    return linprog(c, bounds=bounds, method="highs", **kw)
+
+
+def _check(qp, ref, atol=1e-6):
+    stats = mt.madipm(qp, **OPTS)
+    assert stats.success == (ref.status == 0), (stats.status, ref.status)
+    if stats.success:
+        assert stats.objective == pytest.approx(ref.fun + qp.c0, abs=atol)
+    return stats
+
+
+class TestShapes:
+    def test_ranged_rows(self, rng):
+        n, m = 10, 4
+        A = rng.standard_normal((m, n))
+        x = rng.random(n) + 0.5
+        mid = A @ x
+        qp = mt.from_dense(
+            c=rng.random(n) + 0.1, A=A, lcon=mid - 1.0, ucon=mid + 1.0,
+            lvar=np.zeros(n), uvar=np.full(n, np.inf),
+        )
+        ref = _highs(qp.c, A, qp.lcon, qp.ucon, qp.lvar, qp.uvar)
+        _check(qp, ref)
+
+    def test_one_sided_rows(self, rng):
+        n, m = 8, 5
+        A = rng.standard_normal((m, n))
+        x = rng.random(n) + 0.5
+        b = A @ x
+        lcon = np.where(np.arange(m) % 2 == 0, -np.inf, b - 0.5)
+        ucon = np.where(np.arange(m) % 2 == 0, b + 0.5, np.inf)
+        qp = mt.from_dense(
+            c=rng.random(n) + 0.1, A=A, lcon=lcon, ucon=ucon,
+            lvar=np.zeros(n), uvar=np.full(n, np.inf),
+        )
+        ref = _highs(qp.c, A, lcon, ucon, qp.lvar, qp.uvar)
+        _check(qp, ref)
+
+    def test_fixed_variables(self, rng):
+        n, m = 6, 2
+        A = rng.standard_normal((m, n))
+        lvar = np.zeros(n)
+        uvar = np.full(n, np.inf)
+        lvar[2] = uvar[2] = 1.5  # fixed
+        lvar[4] = uvar[4] = 0.0  # fixed at zero
+        x = rng.random(n) + 0.5
+        x[2], x[4] = 1.5, 0.0
+        b = A @ x
+        qp = mt.from_dense(c=rng.random(n) + 0.1, A=A, lcon=b, ucon=b, lvar=lvar, uvar=uvar)
+        ref = _highs(qp.c, A, b, b, lvar, uvar)
+        stats = _check(qp, ref)
+        if stats.success:
+            assert stats.solution[2] == pytest.approx(1.5, abs=1e-8)
+            assert stats.solution[4] == pytest.approx(0.0, abs=1e-8)
+
+    def test_free_variables(self, rng):
+        n, m = 6, 3
+        A = rng.standard_normal((m, n))
+        x = rng.standard_normal(n)
+        b = A @ x
+        lvar = np.full(n, -np.inf)
+        uvar = np.full(n, np.inf)
+        lvar[:2] = -5.0  # a couple bounded below so it's bounded
+        c = A.T @ rng.random(m)  # c in row space => bounded on the affine set
+        qp = mt.from_dense(c=c, A=A, lcon=b, ucon=b, lvar=lvar, uvar=uvar)
+        ref = _highs(c, A, b, b, lvar, uvar)
+        _check(qp, ref)
+
+    def test_upper_bounds_only(self, rng):
+        n = 5
+        c = -(rng.random(n) + 0.1)  # maximize-ish: push to upper bounds
+        uvar = rng.random(n) + 1.0
+        qp = mt.from_dense(
+            c=c, A=np.zeros((1, n)), lcon=[0.0], ucon=[0.0],
+            lvar=np.full(n, -np.inf), uvar=uvar,
+        )
+        ref = _highs(c, np.zeros((1, n)), [0.0], [0.0], qp.lvar, uvar)
+        stats = _check(qp, ref)
+        if stats.success:
+            assert np.allclose(stats.solution, uvar, atol=1e-6)
+
+    def test_maximize(self, rng):
+        n, m = 7, 3
+        A = rng.standard_normal((m, n))
+        x = rng.random(n) + 0.5
+        b = A @ x
+        c = rng.random(n) + 0.1
+        qp = mt.from_dense(
+            c=c, A=A, lcon=b, ucon=b, lvar=np.zeros(n), uvar=np.full(n, 2.0),
+            minimize=False,
+        )
+        ref = _highs(-c, A, b, b, qp.lvar, qp.uvar)
+        stats = mt.madipm(qp, **OPTS)
+        assert stats.success == (ref.status == 0)
+        if stats.success:
+            # maximized objective = -min(-c'x)
+            assert stats.objective == pytest.approx(-ref.fun, abs=1e-6)
+
+    def test_objective_constant(self, rng):
+        qp = mt.from_dense(
+            c=[1.0, 1.0], A=[[1.0, 1.0]], lcon=[1.0], ucon=[1.0],
+            lvar=[0.0, 0.0], uvar=[np.inf] * 2, c0=42.0,
+        )
+        stats = mt.madipm(qp, **OPTS)
+        assert stats.success
+        assert stats.objective == pytest.approx(43.0, abs=1e-7)
+
+    def test_single_variable(self):
+        qp = mt.from_dense(
+            c=[2.0], A=[[1.0]], lcon=[-np.inf], ucon=[4.0], lvar=[1.0], uvar=[np.inf]
+        )
+        stats = mt.madipm(qp, **OPTS)
+        assert stats.success
+        assert stats.objective == pytest.approx(2.0, abs=1e-6)
+
+    def test_duplicate_rows(self, rng):
+        n = 6
+        A1 = rng.standard_normal(n)
+        x = rng.random(n) + 0.5
+        b = float(A1 @ x)
+        A = np.vstack([A1, A1])  # duplicated equality
+        qp = mt.from_dense(
+            c=rng.random(n) + 0.1, A=A, lcon=[b, b], ucon=[b, b],
+            lvar=np.zeros(n), uvar=np.full(n, np.inf),
+        )
+        ref = _highs(qp.c, A, qp.lcon, qp.ucon, qp.lvar, qp.uvar)
+        # Duplicated rows make A rank-deficient; regularization must carry it.
+        stats = mt.madipm(qp, regularization=mt.FixedRegularization(1e-8, -1e-8), **OPTS)
+        assert stats.success == (ref.status == 0)
+        if stats.success:
+            assert stats.objective == pytest.approx(ref.fun, abs=1e-5)
+
+    def test_unbounded_detected(self):
+        # min -x, x >= 0, no upper bound, no constraints binding
+        qp = mt.from_dense(
+            c=[-1.0, 0.0], A=[[0.0, 1.0]], lcon=[1.0], ucon=[1.0],
+            lvar=[0.0, 0.0], uvar=[np.inf] * 2,
+        )
+        stats = mt.madipm(qp, **OPTS)
+        assert not stats.success
+        assert stats.status in (
+            mt.Status.DIVERGING_ITERATES,
+            mt.Status.INFEASIBLE_PROBLEM_DETECTED,
+            mt.Status.MAXIMUM_ITERATIONS_EXCEEDED,
+        )
+
+
+class TestQPShapes:
+    def test_qp_with_ranged_rows(self, rng):
+        n, m = 6, 3
+        L = rng.standard_normal((n, n))
+        Q = L @ L.T + np.eye(n)
+        A = rng.standard_normal((m, n))
+        x = rng.random(n)
+        mid = A @ x
+        qp = mt.from_dense(
+            c=rng.standard_normal(n), Q=Q, A=A, lcon=mid - 0.5, ucon=mid + 0.5,
+            lvar=np.full(n, -2.0), uvar=np.full(n, 2.0),
+        )
+        stats = mt.madipm(qp, **OPTS)
+        assert stats.success
+        # KKT residual check: gradient stationarity with recovered duals
+        # (MadNLP sign convention: grad + A'y - zl + zu = 0, cf.
+        # dual_objective = -y'b, reference src/kernels.jl:408-417)
+        x = stats.solution
+        g = qp.grad(x)
+        lag = g + qp.A.T @ stats.multipliers - stats.multipliers_L + stats.multipliers_U
+        assert float(np.max(np.abs(lag))) < 1e-5
+
+    def test_qp_maximize_concave(self, rng):
+        # max -1/2 x'x + c'x == min 1/2 x'x - c'x, solution x = c (interior)
+        n = 4
+        c = rng.random(n)
+        qp = mt.from_dense(
+            c=c, Q=-np.eye(n), A=np.zeros((1, n)), lcon=[0.0], ucon=[0.0],
+            lvar=np.full(n, -10.0), uvar=np.full(n, 10.0), minimize=False,
+        )
+        stats = mt.madipm(qp, **OPTS)
+        assert stats.success
+        assert np.allclose(stats.solution, c, atol=1e-5)
+        assert stats.objective == pytest.approx(0.5 * float(c @ c), abs=1e-6)
+
+
+class TestPipelineShapes:
+    """presolve -> scale -> standard_form on the same shapes (the benchmark
+    pipeline, scripts/run_benchmarks.py)."""
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_full_pipeline_matches_direct(self, seed):
+        rng = np.random.default_rng(seed)
+        n, m = 12, 5
+        A = rng.standard_normal((m, n))
+        x = rng.random(n) + 0.5
+        mid = A @ x
+        qp = mt.from_dense(
+            c=rng.random(n) + 0.1, A=A, lcon=mid - 0.5, ucon=mid + 0.5,
+            lvar=np.zeros(n), uvar=np.where(rng.random(n) < 0.5, 2.0, np.inf),
+        )
+        from madipm_tpu.models.presolve import presolve_qp
+        from madipm_tpu.models.scale import scale_qp
+        from madipm_tpu.models.qp import standard_form
+
+        direct = mt.madipm(qp, **OPTS)
+        pre, flag, _ = presolve_qp(qp)
+        assert flag
+        scaled, _ = scale_qp(pre)
+        std = standard_form(scaled)
+        piped = mt.madipm(std, **OPTS)
+        assert piped.success and direct.success
+        assert piped.objective == pytest.approx(direct.objective, abs=1e-6)
