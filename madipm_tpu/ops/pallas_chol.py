@@ -51,6 +51,45 @@ MAX_VMEM_N = 1280
 MAX_VMEM_N_INV = 1024
 
 
+class _Lead0:
+    """View of a (1, N, N) block ref as (N, N): every index gets a leading 0.
+
+    Batched inputs are mapped to a Pallas grid over the batch dimension
+    (NOT jax.vmap of the kernel: under jax_enable_x64 the vmap batching
+    rule emits i64 index scalars that Mosaic cannot legalize).  The grid
+    BlockSpec then hands the kernel (1, N, N) refs; this adapter keeps the
+    kernel body written in plain 2-D indexing.
+    """
+
+    def __init__(self, ref):
+        self._ref = ref
+
+    @property
+    def shape(self):
+        return self._ref.shape[1:]
+
+    @property
+    def dtype(self):
+        return self._ref.dtype
+
+    def _idx(self, idx):
+        if idx is Ellipsis:
+            return (0, Ellipsis)
+        if isinstance(idx, tuple):
+            return (0,) + idx
+        return (0, idx)
+
+    def __getitem__(self, idx):
+        return self._ref[self._idx(idx)]
+
+    def __setitem__(self, idx, val):
+        self._ref[self._idx(idx)] = val
+
+
+def _as2d(ref):
+    return _Lead0(ref) if len(ref.shape) == 3 else ref
+
+
 def _factor_sweep(l_ref, nblocks: int, block: int, winv_blocks: list):
     """Right-looking blocked Cholesky in-place in ``l_ref``; appends each
     diagonal block's inverse to ``winv_blocks`` (traced values)."""
@@ -79,12 +118,14 @@ def _zero_upper(l_ref):
 
 
 def _chol_kernel(s_ref, l_ref, nblocks: int, block: int):
+    s_ref, l_ref = _as2d(s_ref), _as2d(l_ref)
     l_ref[...] = s_ref[...]
     _factor_sweep(l_ref, nblocks, block, [])
     _zero_upper(l_ref)
 
 
 def _chol_inv_kernel(s_ref, l_ref, w_ref, nblocks: int, block: int):
+    s_ref, l_ref, w_ref = _as2d(s_ref), _as2d(l_ref), _as2d(w_ref)
     l_ref[...] = s_ref[...]
     winv: list = []
     _factor_sweep(l_ref, nblocks, block, winv)
@@ -93,7 +134,7 @@ def _chol_inv_kernel(s_ref, l_ref, w_ref, nblocks: int, block: int):
     #   Linv[k,k] = Wkk
     #   Linv[i,k] = -Wii @ (sum_{k<=j<i} L[i,j] @ Linv[j,k]),  i > k
     # ~nb^3/6 MXU matmuls, all VMEM-resident.
-    w_ref[...] = jnp.zeros_like(w_ref)
+    w_ref[...] = jnp.zeros(w_ref.shape, w_ref.dtype)
     for k in range(nblocks):
         k0, k1 = k * block, (k + 1) * block
         w_ref[k0:k1, k0:k1] = winv[k]
@@ -110,53 +151,84 @@ def _chol_inv_kernel(s_ref, l_ref, w_ref, nblocks: int, block: int):
 
 def _call(kernel, S, n_out: int, interpret: bool):
     n = S.shape[-1]
-    out_shape = [jax.ShapeDtypeStruct(S.shape[-2:], S.dtype)] * n_out
+    if S.ndim == 3:
+        # Explicit grid over the batch: one kernel launch factors the whole
+        # stack, each program instance owning one (1, N, N) block.  The
+        # index map is int32-cast: under jax_enable_x64 an uncast map
+        # traces to i64 scalars, which Mosaic fails to legalize
+        # ("func.return (i32, i64, i64)").
+        b = S.shape[0]
+        spec = pl.BlockSpec(
+            (1, n, n),
+            lambda i: (jnp.int32(i), jnp.int32(0), jnp.int32(0)),
+            memory_space=pltpu.VMEM,
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(b,),
+            out_shape=[jax.ShapeDtypeStruct(S.shape, S.dtype)] * n_out,
+            in_specs=[spec],
+            out_specs=[spec] * n_out,
+            interpret=interpret,
+        )(S)
     call = pl.pallas_call(
         kernel,
-        out_shape=out_shape,
+        out_shape=[jax.ShapeDtypeStruct(S.shape[-2:], S.dtype)] * n_out,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_out,
         interpret=interpret,
     )
-    if S.ndim == 3:
-        # vmap adds a leading grid dimension over instances — one kernel
-        # launch factors the whole stack (the batched-sweep pattern).
-        return jax.vmap(call)(S)
     return call(S)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
-def pallas_cholesky(S: jax.Array, block: int = _BLOCK, interpret: bool = False):
-    """Lower Cholesky factor of SPD ``S`` ((N,N) or (B,N,N))."""
-    n = S.shape[-1]
+def _batchable(kernel_for, n_out: int, block: int, interpret: bool):
+    """Wrap _call in jax.custom_batching.custom_vmap so a solver-level
+    ``jax.vmap`` (parallel/batch.py vmaps the whole solve) lowers to the
+    explicit batch grid instead of pallas_call's built-in batching rule
+    (which emits i64 index scalars under x64 — unlowerable by Mosaic)."""
+
+    @jax.custom_batching.custom_vmap
+    def fn(S):
+        return tuple(_call(kernel_for(S.shape[-1]), S, n_out, interpret))
+
+    @fn.def_vmap
+    def _vmap_rule(axis_size, in_batched, S):  # noqa: ANN001
+        out = tuple(_call(kernel_for(S.shape[-1]), S, n_out, interpret))
+        return out, tuple([True] * n_out)
+
+    return fn
+
+
+def _validate(n, block, cap):
     if n % block != 0:
         raise ValueError(f"N={n} must be a multiple of block={block}")
-    if n > MAX_VMEM_N:
+    if n > cap:
         raise ValueError(
-            f"N={n} exceeds the VMEM-resident limit {MAX_VMEM_N}; use "
+            f"N={n} exceeds the VMEM-resident limit {cap}; use "
             "ops.block_chol.chol_inv for larger systems"
         )
-    kernel = functools.partial(_chol_kernel, nblocks=n // block, block=block)
-    (L,) = _call(kernel, S, 1, interpret)
-    return L
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def pallas_cholesky(S: jax.Array, block: int = _BLOCK, interpret: bool = False):
+    """Lower Cholesky factor of SPD ``S`` ((N,N) or (B,N,N))."""
+    _validate(S.shape[-1], block, MAX_VMEM_N)
+    kfor = lambda n: functools.partial(_chol_kernel, nblocks=n // block, block=block)
+    if S.ndim == 3:
+        return _call(kfor(S.shape[-1]), S, 1, interpret)[0]
+    return _batchable(kfor, 1, block, interpret)(S)[0]
+
+
 def pallas_chol_inv(S: jax.Array, block: int = _BLOCK, interpret: bool = False):
     """(L, L^-1) of SPD ``S`` ((N,N) or (B,N,N)) in one fused kernel.
 
     Drop-in accelerated replacement for ops/block_chol.chol_inv on sizes
     that fit VMEM; the solver's factorize path dispatches here
-    automatically (ops/kkt.py).
+    automatically (ops/kkt.py).  2-D inputs go through a custom_vmap
+    wrapper so an outer ``jax.vmap`` (the batched-sweep path) maps onto the
+    batch grid.
     """
-    n = S.shape[-1]
-    if n % block != 0:
-        raise ValueError(f"N={n} must be a multiple of block={block}")
-    if n > MAX_VMEM_N_INV:
-        raise ValueError(
-            f"N={n} exceeds the VMEM-resident limit {MAX_VMEM_N_INV}; use "
-            "ops.block_chol.chol_inv for larger systems"
-        )
-    kernel = functools.partial(_chol_inv_kernel, nblocks=n // block, block=block)
-    L, W = _call(kernel, S, 2, interpret)
-    return L, W
+    _validate(S.shape[-1], block, MAX_VMEM_N_INV)
+    kfor = lambda n: functools.partial(_chol_inv_kernel, nblocks=n // block, block=block)
+    if S.ndim == 3:
+        return _call(kfor(S.shape[-1]), S, 2, interpret)
+    return _batchable(kfor, 2, block, interpret)(S)

@@ -79,11 +79,14 @@ def make_config(opt: IPMOptions, is_qp: bool, dtype=jnp.float64) -> SolverConfig
     refinement = opt.refinement_steps if factor_dtype != jnp.dtype(dtype) else 0
     use_pallas = opt.use_pallas
     if use_pallas is None:
-        # Auto: the fused kernel is a dispatch-overhead optimization for the
-        # real TPU; on CPU the interpret path would be slower than XLA.
-        import jax as _jax
-
-        use_pallas = _jax.default_backend() == "tpu"
+        # Auto = off: measured end-to-end on a v5e, the fused VMEM kernel
+        # ties/slightly trails the XLA lowering of the same recursion inside
+        # the fully-fused solve (0.47 s vs 0.41 s per 16-instance batch) —
+        # XLA already pipelines the small factorization ops well within one
+        # program.  The kernel stays available (use_pallas=True) for larger
+        # single-instance systems where HBM round-trips between panel
+        # updates start to matter.
+        use_pallas = False
     kcfg = KKTConfig(
         kind=kind,
         linear_solver=opt.resolved_linear_solver(kind),

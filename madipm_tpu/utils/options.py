@@ -209,10 +209,11 @@ class IPMOptions:
     # + refinement on TPU). None = pick by backend.
     factor_dtype: Optional[str] = None
 
-    #: fuse the fp32 Cholesky into one Pallas VMEM kernel.  None = auto
-    #: (enabled on the TPU backend when the system fits VMEM).  The plain
-    #: XLA lowering of the recursion spends ~10 ms/iteration in op-dispatch
-    #: overhead at KKT sizes; the fused kernel removes it.
+    #: fuse the fp32 Cholesky into one Pallas VMEM kernel (TPU only; the
+    #: system must fit VMEM).  None = off: at benchmark KKT sizes the fully
+    #: fused XLA solve already pipelines the factorization ops, and the
+    #: kernel measured slightly slower end-to-end on a v5e.  Opt in for
+    #: large single instances.
     use_pallas: Optional[bool] = None
 
     def resolved_kkt(self, is_qp: bool) -> KKTSystem:
