@@ -336,3 +336,56 @@ def solve_condensed(cfg: KKTConfig, prob: DeviceQP, factors, rx, rp, pcg_budget:
         dx = jnp.where(free, sol[:n], 0.0)
         dy = jnp.where(live, sol[n:], 0.0)
         return dx, dy
+
+
+# ---------------------------------------------------------------------------
+# Solve residual check (reference solve_system! residual check,
+# src/linear_solver.jl:28-43)
+# ---------------------------------------------------------------------------
+
+
+def solve_residual(prob: DeviceQP, factors, rx, rp, dx, dy):
+    """||K d - r||_inf / max(1, ||r||_inf) of the (regularized) KKT solve.
+
+    The reference computes this after every direct solve and throws a
+    SolveException when it exceeds ``tol_linear_solve``
+    (src/linear_solver.jl:28-43); here refinement/PCG already drives the
+    residual down actively, so the check (enabled with
+    ``check_residual=True``) is a guardrail that flags
+    ERROR_IN_STEP_COMPUTATION instead of silently stepping on garbage.
+
+    Evaluated on the *condensed* system: top block
+    ``Sigma dx + A' dy - rx`` (the Q term is folded into Sigma only for
+    the NORMAL/LP path; the AUGMENTED path adds it explicitly) and bottom
+    block ``A dx + del_c dy - rp``, masked to live rows/free columns.
+    """
+    A = prob.A
+    free = prob.free_mask
+    dt = rx.dtype
+    if isinstance(factors, NormalFactors):
+        sigma = jnp.where(free, 1.0 / jnp.where(factors.dinv == 0, 1.0, factors.dinv), 1.0)
+        hx = jnp.where(factors.dinv == 0, 0.0, sigma * dx)
+        qx = 0.0 if prob.Q is None else jnp.dot(prob.Q, jnp.where(free, dx, 0.0), preferred_element_type=dt)
+        top = jnp.where(free, hx + qx + jnp.dot(A.T, dy, preferred_element_type=dt) - rx, 0.0)
+        bot = jnp.where(
+            factors.live,
+            jnp.dot(A, jnp.where(free, dx, 0.0), preferred_element_type=dt)
+            + factors.del_c * dy - rp,
+            0.0,
+        )
+    else:
+        hx = factors.sigma * dx
+        if prob.Q is not None:
+            hx = hx + jnp.dot(prob.Q, jnp.where(free, dx, 0.0), preferred_element_type=dt)
+        top = jnp.where(free, hx + jnp.dot(A.T, jnp.where(factors.live, dy, 0.0), preferred_element_type=dt) - rx, 0.0)
+        bot = jnp.where(
+            factors.live,
+            jnp.dot(A, jnp.where(free, dx, 0.0), preferred_element_type=dt)
+            + factors.del_c * dy - rp,
+            0.0,
+        )
+    num = jnp.maximum(jnp.max(jnp.abs(top)), jnp.max(jnp.abs(bot)))
+    den = jnp.maximum(
+        1.0, jnp.maximum(jnp.max(jnp.abs(rx * free)), jnp.max(jnp.abs(rp * prob.row_mask)))
+    )
+    return num / den

@@ -398,6 +398,13 @@ def iteration(cfg: SolverConfig, prob: DeviceQP, state: IPMState) -> IPMState:
     dx, dy = solve(rhs_c.rx, rhs_c.rp)
     dzl, dzu = K.recover_bound_duals(prob, x, zl, zu, rhs_c, dx)
 
+    # Optional linear-solve residual guardrail (reference solve_system!
+    # residual check + SolveException, src/linear_solver.jl:28-43).
+    solve_bad = jnp.asarray(False)
+    if cfg.check_residual:
+        res = kkt_ops.solve_residual(prob, factors, rhs_c.rx, rhs_c.rp, dx, dy)
+        solve_bad = res > cfg.tol_linear_solve
+
     # Gondzio multiple centrality corrections (reference
     # gondzio_correction_direction!, src/solver.jl:245-298), statically
     # unrolled with a carried stop flag.
@@ -483,7 +490,7 @@ def iteration(cfg: SolverConfig, prob: DeviceQP, state: IPMState) -> IPMState:
     # Numerical-failure detection: NaN anywhere in the new iterate maps to
     # ERROR_IN_STEP_COMPUTATION (reference solve_system! NaN check +
     # exception mapping, src/linear_solver.jl:40-42, src/solver.jl:396-397).
-    bad = ~(
+    bad = solve_bad | ~(
         jnp.all(jnp.isfinite(x))
         & jnp.all(jnp.isfinite(y))
         & jnp.all(jnp.isfinite(zl))

@@ -313,3 +313,39 @@ class TestTransformations:
         s256 = solver.solve()
         assert s256.iter == s64.iter
         assert s256.objective == pytest.approx(s64.objective, abs=1e-9)
+
+
+class TestCheckResidual:
+    """Linear-solve residual guardrail (reference solve_system! residual
+    check + SolveException, src/linear_solver.jl:28-43)."""
+
+    def _lp(self, seed=9):
+        import madipm_tpu as mt
+
+        rng = np.random.default_rng(seed)
+        n, m = 30, 12
+        A = rng.standard_normal((m, n))
+        xs = rng.random(n) + 0.5
+        b = A @ xs
+        return mt.from_dense(
+            c=rng.random(n) + 0.1, A=A, lcon=b, ucon=b,
+            lvar=np.zeros(n), uvar=np.full(n, np.inf),
+        )
+
+    def test_clean_solve_passes(self):
+        import madipm_tpu as mt
+
+        s = mt.madipm(
+            self._lp(), print_level=mt.PrintLevel.ERROR,
+            check_residual=True, tol_linear_solve=1e-8,
+        )
+        assert s.success
+
+    def test_unattainable_tolerance_flags_error(self):
+        import madipm_tpu as mt
+
+        s = mt.madipm(
+            self._lp(), print_level=mt.PrintLevel.ERROR,
+            check_residual=True, tol_linear_solve=1e-30,
+        )
+        assert s.status == mt.Status.ERROR_IN_STEP_COMPUTATION
