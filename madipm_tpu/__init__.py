@@ -18,6 +18,7 @@ Public API mirrors the reference exports (reference src/MadIPM.jl:19:
 """
 
 from .api import MPCSolver, madipm
+from .modeling import Model
 from .models.qp import DeviceQP, QuadraticModel, from_dense, pad_to_device, slack_form, standard_form
 from .utils.options import (
     AdaptiveRegularization,
@@ -41,6 +42,7 @@ __version__ = "0.1.0"
 __all__ = [
     "MPCSolver",
     "madipm",
+    "Model",
     "QuadraticModel",
     "DeviceQP",
     "from_dense",
