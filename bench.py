@@ -162,8 +162,12 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     log(f"backend: {backend}, devices: {jax.devices()}")
 
-    k, n, m = 16, 384, 192
-    models = make_suite(k=k, n=n, m=m)
+    # Headline point picked by scripts/size_sweep.py (measured on one v5e):
+    # the TPU advantage grows with size — 5.9x at m=192, 14.9x at m=512,
+    # 21.3x at m=1024 — while keeping the full suite + serial HiGHS baseline
+    # run comfortably inside the driver's per-attempt timeout.
+    k, n, m, density = 8, 2048, 1024, 0.15
+    models = make_suite(k=k, n=n, m=m, density=density)
 
     import madipm_tpu as mt
 

@@ -18,7 +18,7 @@ Pipeline (mirrors the reference's solve stack, SURVEY §3.1/§3.3):
 from __future__ import annotations
 
 import time
-from typing import Union
+from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -55,14 +55,38 @@ class MPCSolver:
     src/structure.jl:79-178): holds the transformed device problem and
     compiled solve so repeated solves reuse the XLA executable."""
 
-    def __init__(self, model: QuadraticModel, dtype=None, pad_multiple: int = 128, **options):
+    def __init__(
+        self,
+        model: QuadraticModel,
+        dtype=None,
+        pad_multiple: int = 128,
+        sparse: Optional[bool] = None,
+        **options,
+    ):
         _ensure_x64()
         self.model = model
         self.opt = options.pop("options", None) or load_options(**options)
         self.dtype = jnp.dtype(dtype) if dtype is not None else jnp.float64
         t0 = time.time()
         self.slack_model = slack_form(model)
-        self.prob = pad_to_device(self.slack_model, dtype=self.dtype, pad_multiple=pad_multiple)
+        if sparse is None:
+            # Auto: switch to the ELL/segment-sum representation when the
+            # dense padded Jacobian would be big AND the problem is sparse
+            # enough that the pair-list assembly wins (models/sparse.py).
+            sm = self.slack_model
+            dense_entries = sm.ncon * sm.nvar
+            density = sm.A.nnz / max(1, dense_entries)
+            sparse = (not sm.is_qp) and dense_entries > 64_000_000 and density < 0.02
+        if sparse:
+            from .models.sparse import pad_sparse_to_device
+
+            self.prob = pad_sparse_to_device(
+                self.slack_model, dtype=self.dtype, pad_multiple=pad_multiple
+            )
+        else:
+            self.prob = pad_to_device(
+                self.slack_model, dtype=self.dtype, pad_multiple=pad_multiple
+            )
         self.cfg = driver.make_config(self.opt, is_qp=self.prob.is_qp, dtype=self.dtype)
         self.init_time = time.time() - t0
 

@@ -350,6 +350,50 @@ class DeviceQP:
     def has_ub(self) -> jax.Array:
         return self.free_mask & jnp.isfinite(self.ub)
 
+    # Jacobian operator interface -------------------------------------
+    # The solver/KKT layers consume A only through these methods, so the
+    # block-sparse representation (models/sparse.py) can swap in — the
+    # analogue of the reference's MadIPMOperator SpMV abstraction
+    # (ext/MadIPMCUDAExt/cuda_wrapper.jl:43-94).
+    @property
+    def dtype(self):
+        return self.c.dtype
+
+    @property
+    def dense_A(self) -> jax.Array:
+        """Dense Jacobian (AUGMENTED/K2 assembly needs it; the sparse
+        representation raises here, like the reference's NormalKKTSystem
+        erroring on nnzh>0, src/KKT/normalkkt.jl:40-43)."""
+        return self.A
+
+    def matvec(self, x) -> jax.Array:
+        """A @ x."""
+        return jnp.dot(self.A, x, preferred_element_type=x.dtype)
+
+    def rmatvec(self, y) -> jax.Array:
+        """A' @ y."""
+        return jnp.dot(self.A.T, y, preferred_element_type=y.dtype)
+
+    def row_inf_norm(self) -> jax.Array:
+        """max_j |A_ij| per row (set_scaling!, reference src/solver.jl:148-159)."""
+        return jnp.max(jnp.abs(self.A), axis=1)
+
+    def scale_rows(self, con_scale) -> "DeviceQP":
+        """Return a copy with rows of A scaled (b is scaled by the caller)."""
+        return dataclasses.replace(self, A=self.A * con_scale[:, None])
+
+    def assemble_normal_matrix(self, dinv, factor_dtype) -> jax.Array:
+        """S = A diag(dinv) A' in the factor dtype (no regularization or
+        diagonal pinning — the KKT layer applies those uniformly).
+
+        One MXU matmul: (m,n) * (n,) -> (m,n) @ (n,m) (the TPU replacement
+        for the reference's sparse row-intersection assembly,
+        src/utils.jl:276-308 / ext/MadIPMCUDAExt/cuda_wrapper.jl:108-144).
+        """
+        Af = self.A.astype(factor_dtype)
+        df = dinv.astype(factor_dtype)
+        return jnp.dot(Af * df[None, :], Af.T, preferred_element_type=factor_dtype)
+
 
 def pad_to_device(
     qp: QuadraticModel,

@@ -1,0 +1,338 @@
+"""Sparse device problem representation for large instances.
+
+The reference keeps the Jacobian sparse end-to-end: CSR/CSC with a COO->CSR
+value map (src/utils.jl:158-207), a host symbolic analysis of the normal
+matrix ``A Sigma^-1 A'`` (``build_normal_system``, src/utils.jl:209-274), a
+per-iteration numeric assembly kernel (``assemble_normal_system!``,
+src/utils.jl:276-308; GPU row-intersection kernel
+ext/MadIPMCUDAExt/cuda_wrapper.jl:108-144), and CUSPARSE SpMV operators
+(ext/MadIPMCUDAExt/cuda_wrapper.jl:43-94).
+
+This module is the TPU-native equivalent, built for XLA instead of pointer
+chasing:
+
+- **ELL storage** (row-padded ``[m, K]`` values + column indices, and the
+  transpose ``[n, Kc]``): SpMV/SpMV' become one gather + one lane reduction,
+  fully static shapes, vmap-able.
+- **Host symbolic analysis** (:func:`build_normal_pattern`): for every
+  column ``j`` of A, all ordered nonzero-row pairs ``(r_a >= r_b)``
+  contribute ``A_aj * A_bj * dinv_j`` to ``S[r_a, r_b]``.  The pair list is
+  sorted by destination once on host; the device never branches.
+- **Per-iteration numeric assembly** (inside ``SparseDeviceQP
+  .assemble_normal_matrix``): two gathers -> product -> sorted
+  ``segment_sum`` -> one static scatter into the dense padded ``S``.  Cost
+  is O(sum_j nnz_j^2) instead of the dense path's O(m^2 n) matmul, and the
+  full dense ``A`` (m x n) is never materialized — ``n`` can be two orders
+  of magnitude larger than the dense path allows.
+
+The factorization of ``S`` (size m) stays dense-blocked on the MXU; this
+path targets the tall/sparse regime (n >> m, few nnz per row) typical of
+standard-form LPs.  QP (AUGMENTED/K2) keeps the dense path — mirroring the
+reference's ``NormalKKTSystem`` being LP-only (src/KKT/normalkkt.jl:40-43).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from .qp import QuadraticModel, _round_up
+
+
+class NormalPattern(NamedTuple):
+    """Host-precomputed symbolic structure of S = A D A' (lower triangle).
+
+    All arrays are int32.  ``pair_*`` have length P = sum_j k_j (k_j + 1)/2
+    (k_j = nnz of column j); ``s_low``/``s_up`` have length nnzS (unique
+    lower-triangle entries of S, as flat indices into the padded m*m)."""
+
+    pair_a: np.ndarray  # flat ELL index of the first factor A[r_a, j]
+    pair_b: np.ndarray  # flat ELL index of the second factor A[r_b, j]
+    pair_col: np.ndarray  # j (gathers dinv)
+    seg_id: np.ndarray  # sorted segment id into the unique entries
+    s_low: np.ndarray  # destination r_a * m_pad + r_b  (r_a >= r_b)
+    s_up: np.ndarray  # mirror r_b * m_pad + r_a (== s_low on the diagonal)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SparseDeviceQP:
+    """Padded ELL-sparse standard-form LP on device.
+
+    Field-compatible with :class:`DeviceQP` for everything the solver
+    kernels touch (c, b, bounds, masks, x0/y0) — the Jacobian is consumed
+    only through the operator methods shared with the dense class."""
+
+    c: jax.Array  # [n]
+    b: jax.Array  # [m]
+    lb: jax.Array  # [n]
+    ub: jax.Array  # [n]
+    c0: jax.Array  # scalar
+    row_mask: jax.Array  # [m] bool
+    col_mask: jax.Array  # [n] bool
+    x0: jax.Array  # [n]
+    y0: jax.Array  # [m]
+
+    # ELL Jacobian, row-major and transposed
+    A_val: jax.Array  # [m, K]
+    A_col: jax.Array  # [m, K] int32 (padded slots: col 0, val 0)
+    AT_val: jax.Array  # [n, Kc]
+    AT_row: jax.Array  # [n, Kc] int32
+
+    # Normal-equation symbolic pattern (device copies of NormalPattern)
+    pair_a: jax.Array
+    pair_b: jax.Array
+    pair_col: jax.Array
+    seg_id: jax.Array
+    s_low: jax.Array
+    s_up: jax.Array
+
+    Q: Optional[jax.Array] = None  # always None (LP-only path)
+
+    # ------------------------------------------------------------------
+    @property
+    def n(self) -> int:
+        return self.c.shape[-1]
+
+    @property
+    def m(self) -> int:
+        return self.b.shape[-1]
+
+    @property
+    def is_qp(self) -> bool:
+        return False
+
+    @property
+    def free_mask(self) -> jax.Array:
+        return self.col_mask & (self.lb < self.ub)
+
+    @property
+    def has_lb(self) -> jax.Array:
+        return self.free_mask & jnp.isfinite(self.lb)
+
+    @property
+    def has_ub(self) -> jax.Array:
+        return self.free_mask & jnp.isfinite(self.ub)
+
+    # Jacobian operator interface --------------------------------------
+    @property
+    def dtype(self):
+        return self.c.dtype
+
+    @property
+    def dense_A(self) -> jax.Array:
+        raise NotImplementedError(
+            "the sparse path supports the NORMAL (LP) KKT system only; "
+            "use the dense representation for AUGMENTED/QP solves "
+            "(parity: the reference's NormalKKTSystem is likewise LP-only, "
+            "src/KKT/normalkkt.jl:40-43)"
+        )
+
+    def matvec(self, x) -> jax.Array:
+        """A @ x: one gather along lanes + reduction (CUSPARSE SpMV role)."""
+        return jnp.sum(self.A_val * x[self.A_col], axis=1)
+
+    def rmatvec(self, y) -> jax.Array:
+        """A' @ y via the transposed ELL (no atomics, unlike a scatter)."""
+        return jnp.sum(self.AT_val * y[self.AT_row], axis=1)
+
+    def row_inf_norm(self) -> jax.Array:
+        return jnp.max(jnp.abs(self.A_val), axis=1)
+
+    def scale_rows(self, con_scale) -> "SparseDeviceQP":
+        return dataclasses.replace(
+            self,
+            A_val=self.A_val * con_scale[:, None],
+            AT_val=self.AT_val * con_scale[self.AT_row],
+        )
+
+    def assemble_normal_matrix(self, dinv, factor_dtype) -> jax.Array:
+        """Numeric assembly of S = A diag(dinv) A' into a dense padded m x m.
+
+        The reference's ``assemble_normal_system!`` re-walked row
+        intersections per entry; here the host-sorted pair list turns the
+        whole assembly into gather -> multiply -> sorted segment_sum -> one
+        static scatter (plus its mirror), all MXU/VPU-friendly with static
+        shapes."""
+        m = self.m
+        flatA = self.A_val.astype(factor_dtype).reshape(-1)
+        contrib = (
+            flatA[self.pair_a]
+            * flatA[self.pair_b]
+            * dinv.astype(factor_dtype)[self.pair_col]
+        )
+        nnz_s = self.s_low.shape[0]
+        snz = jax.ops.segment_sum(
+            contrib, self.seg_id, num_segments=nnz_s, indices_are_sorted=True
+        )
+        S = jnp.zeros((m * m,), factor_dtype)
+        # s_up == s_low on the diagonal: the second scatter rewrites the
+        # same value, which .set tolerates.
+        S = S.at[self.s_low].set(snz).at[self.s_up].set(snz)
+        return S.reshape(m, m)
+
+
+# ---------------------------------------------------------------------------
+# Host-side construction
+# ---------------------------------------------------------------------------
+
+
+def _to_ell(A: sp.csr_matrix, rows_pad: int, cols_pad: int, k_pad_mult: int = 8):
+    """CSR -> padded ELL ([rows_pad, K] values/indices) plus, for each CSR
+    nonzero in order, its flat ELL position (rows * K + slot)."""
+    m = A.shape[0]
+    counts = np.diff(A.indptr)
+    K = int(counts.max()) if counts.size and counts.max() > 0 else 1
+    K = _round_up(K, k_pad_mult)
+    val = np.zeros((rows_pad, K), dtype=np.float64)
+    idx = np.zeros((rows_pad, K), dtype=np.int32)
+    # slot of each nonzero within its row = position - indptr[row]
+    rows = np.repeat(np.arange(m), counts)
+    slots = np.arange(A.nnz) - np.repeat(A.indptr[:-1], counts)
+    val[rows, slots] = A.data
+    idx[rows, slots] = A.indices
+    ell_pos = (rows * K + slots).astype(np.int64)
+    return val, idx, ell_pos
+
+
+def build_normal_pattern(A: sp.csr_matrix, ell_pos: np.ndarray, m_pad: int) -> NormalPattern:
+    """Symbolic analysis of S = A D A' (reference ``build_normal_system``,
+    src/utils.jl:209-274, two-pass count+fill with a dense bitmask; here a
+    sorted pair list consumed by segment_sum), given the CSR->ELL position
+    map from :func:`_to_ell`.
+
+    Cost: P = sum_j k_j (k_j + 1) / 2 pairs.  Dense columns blow P up
+    quadratically — the same structural weakness normal equations have in
+    the reference; presolve/standard form keep k_j small in practice."""
+    m, n = A.shape
+    # CSC traversal with CSR positions: tag each CSR nonzero with its
+    # position, convert to CSC; csc.data then holds CSR positions per column.
+    tag = sp.csr_matrix(
+        (np.arange(A.nnz, dtype=np.int64), A.indices, A.indptr), shape=A.shape
+    )
+    csc = tag.tocsc()
+    csc.sort_indices()
+    col_counts = np.diff(csc.indptr)
+
+    pair_a_parts, pair_b_parts, pair_col_parts = [], [], []
+    out_i_parts, out_j_parts = [], []
+    # Group columns by nnz count so the tril-index template is built once
+    # per k (vectorized over all columns sharing it).
+    for k in np.unique(col_counts):
+        if k == 0:
+            continue
+        cols = np.flatnonzero(col_counts == k)
+        # positions/rows per column, shape [ncols, k] (CSC is row-sorted)
+        starts = csc.indptr[cols]
+        take = starts[:, None] + np.arange(k)[None, :]
+        pos_k = csc.data[take]  # CSR positions
+        row_k = csc.indices[take]  # row ids, ascending per column
+        ii, bb = np.tril_indices(int(k))  # ii >= bb -> r_a >= r_b
+        pair_a_parts.append(ell_pos[pos_k[:, ii]].ravel())
+        pair_b_parts.append(ell_pos[pos_k[:, bb]].ravel())
+        pair_col_parts.append(np.repeat(cols, ii.size))
+        out_i_parts.append(row_k[:, ii].ravel())
+        out_j_parts.append(row_k[:, bb].ravel())
+
+    if not pair_a_parts:
+        # degenerate: empty A
+        z = np.zeros(0, dtype=np.int32)
+        return NormalPattern(z, z, z, z, z, z)
+
+    pair_a = np.concatenate(pair_a_parts)
+    pair_b = np.concatenate(pair_b_parts)
+    pair_col = np.concatenate(pair_col_parts)
+    out_i = np.concatenate(out_i_parts)
+    out_j = np.concatenate(out_j_parts)
+
+    key = out_i.astype(np.int64) * m_pad + out_j
+    order = np.argsort(key, kind="stable")
+    key = key[order]
+    uniq, seg_id = np.unique(key, return_inverse=True)
+    s_low = uniq
+    ui = uniq // m_pad
+    uj = uniq % m_pad
+    s_up = uj * m_pad + ui
+
+    return NormalPattern(
+        pair_a=pair_a[order].astype(np.int32),
+        pair_b=pair_b[order].astype(np.int32),
+        pair_col=pair_col[order].astype(np.int32),
+        seg_id=seg_id.astype(np.int32),
+        s_low=s_low.astype(np.int32),
+        s_up=s_up.astype(np.int32),
+    )
+
+
+def pad_sparse_to_device(
+    qp: QuadraticModel,
+    dtype=jnp.float64,
+    pad_multiple: int = 128,
+    m_pad: Optional[int] = None,
+    n_pad: Optional[int] = None,
+) -> SparseDeviceQP:
+    """Pack a host equality-form LP into a padded ELL SparseDeviceQP
+    (sparse counterpart of :func:`madipm_tpu.models.qp.pad_to_device`)."""
+    if qp.Q is not None:
+        raise ValueError("sparse device path is LP-only (Q must be None)")
+    if np.any(qp.lcon != qp.ucon):
+        raise ValueError(
+            "pad_sparse_to_device requires equality-only constraints; run slack_form first"
+        )
+    m, n = qp.ncon, qp.nvar
+    mp = m_pad if m_pad is not None else _round_up(m, pad_multiple)
+    np_ = n_pad if n_pad is not None else _round_up(n, pad_multiple)
+    if mp < m or np_ < n:
+        raise ValueError("padded shape smaller than problem")
+
+    A = qp.A.tocsr()
+    A.sort_indices()
+    A.sum_duplicates()
+    A.eliminate_zeros()
+
+    val, idx, ell_pos = _to_ell(A, mp, np_)
+    AT = A.T.tocsr()
+    AT.sort_indices()
+    tval, tidx, _ = _to_ell(AT, np_, mp)
+    pattern = build_normal_pattern(A, ell_pos, mp)
+
+    def vecpad(v, size, fill=0.0):
+        out = np.full(size, fill, dtype=np.float64)
+        out[: v.shape[0]] = v
+        return out
+
+    row_mask = np.zeros(mp, dtype=bool)
+    row_mask[:m] = True
+    col_mask = np.zeros(np_, dtype=bool)
+    col_mask[:n] = True
+
+    # flat ELL index arrays reference [mp, K]; matvec gathers x over idx —
+    # padded slots read x[0] with val 0: harmless.
+    return SparseDeviceQP(
+        c=jnp.asarray(vecpad(qp.c, np_), dtype=dtype),
+        b=jnp.asarray(vecpad(qp.lcon, mp), dtype=dtype),
+        lb=jnp.asarray(vecpad(qp.lvar, np_), dtype=dtype),
+        ub=jnp.asarray(vecpad(qp.uvar, np_), dtype=dtype),
+        c0=jnp.asarray(qp.c0, dtype=dtype),
+        row_mask=jnp.asarray(row_mask),
+        col_mask=jnp.asarray(col_mask),
+        x0=jnp.asarray(vecpad(qp.x0, np_), dtype=dtype),
+        y0=jnp.asarray(vecpad(qp.y0, mp), dtype=dtype),
+        A_val=jnp.asarray(val, dtype=dtype),
+        A_col=jnp.asarray(idx),
+        AT_val=jnp.asarray(tval, dtype=dtype),
+        AT_row=jnp.asarray(tidx),
+        pair_a=jnp.asarray(pattern.pair_a),
+        pair_b=jnp.asarray(pattern.pair_b),
+        pair_col=jnp.asarray(pattern.pair_col),
+        seg_id=jnp.asarray(pattern.seg_id),
+        s_low=jnp.asarray(pattern.s_low),
+        s_up=jnp.asarray(pattern.s_up),
+        Q=None,
+    )

@@ -114,10 +114,9 @@ def _assemble_normal(prob: DeviceQP, sigma, del_c, factor_dtype):
     """
     free = prob.free_mask
     dinv = jnp.where(free, 1.0 / sigma, 0.0)
-    Af = prob.A.astype(factor_dtype)
-    df = dinv.astype(factor_dtype)
-    # One MXU matmul: (m,n) * (n,) -> (m,n) @ (n,m)
-    S = jnp.dot(Af * df[None, :], Af.T, preferred_element_type=factor_dtype)
+    # Dense: one MXU matmul (m,n)*(n,) @ (n,m).  Sparse: gather/segment-sum
+    # assembly over the host-precomputed pattern (models/sparse.py).
+    S = prob.assemble_normal_matrix(dinv, factor_dtype)
     dS = jnp.diagonal(S)
     live = prob.row_mask & (dS > 0)
     diag_add = jnp.where(live, -jnp.asarray(del_c, factor_dtype), 1.0 - dS)
@@ -132,7 +131,7 @@ def _assemble_augmented(prob: DeviceQP, sigma, del_c, factor_dtype):
     padded rows: with a tiny del_c their pivot would be ~0 and dy garbage.
     """
     free = prob.free_mask
-    A_eff = (prob.A * free[None, :]).astype(factor_dtype)
+    A_eff = (prob.dense_A * free[None, :]).astype(factor_dtype)
     H = jnp.diag(sigma.astype(factor_dtype))
     if prob.Q is not None:
         Qm = (prob.Q * free[None, :] * free[:, None]).astype(factor_dtype)
@@ -152,7 +151,7 @@ def factorize(cfg: KKTConfig, prob: DeviceQP, x, zl, zu, del_w, del_c):
     src/linear_solver.jl:6-17): up to ``max_factor_trials`` attempts, each
     multiplying (del_w, del_c) by 100.  Returns (factors, del_w, del_c, ok).
     """
-    rdtype = prob.A.dtype
+    rdtype = prob.dtype
 
     def attempt(dw, dc):
         sigma = build_sigma(prob, x, zl, zu, dw)
@@ -254,12 +253,11 @@ def solve_condensed(cfg: KKTConfig, prob: DeviceQP, factors, rx, rp, pcg_budget:
     replacing the reference's residual check + SolveException
     (src/linear_solver.jl:28-43) with active correction.
     """
-    A = prob.A
     if isinstance(factors, NormalFactors):
         live = factors.live
         dinv = factors.dinv
         r1 = dinv * rx
-        r2 = jnp.dot(A, r1, preferred_element_type=rx.dtype) - rp
+        r2 = prob.matvec(r1) - rp
         r2 = jnp.where(live, r2, 0.0)
 
         jac = factors.jac
@@ -275,10 +273,7 @@ def solve_condensed(cfg: KKTConfig, prob: DeviceQP, factors, rx, rp, pcg_budget:
         def matvec(v):
             # Exact fp64 operator applied via A twice — S itself is only
             # ever materialized in the factor dtype.
-            sv = jnp.dot(
-                A, dinv * jnp.dot(A.T, v, preferred_element_type=rx.dtype),
-                preferred_element_type=rx.dtype,
-            ) - factors.del_c * v
+            sv = prob.matvec(dinv * prob.rmatvec(v)) - factors.del_c * v
             return jnp.where(live, sv, v)
 
         if cfg.refinement_steps > 0:
@@ -296,7 +291,7 @@ def solve_condensed(cfg: KKTConfig, prob: DeviceQP, factors, rx, rp, pcg_budget:
             dy = solve_fn(r2).astype(r2.dtype)
         dy = jnp.where(live, dy, 0.0)
 
-        dx = dinv * (rx - jnp.dot(A.T, dy, preferred_element_type=rx.dtype))
+        dx = dinv * (rx - prob.rmatvec(dy))
         return dx, dy
     else:
         n = prob.n
@@ -326,8 +321,8 @@ def solve_condensed(cfg: KKTConfig, prob: DeviceQP, factors, rx, rp, pcg_budget:
                 hx = hx + jnp.dot(
                     prob.Q, jnp.where(free, vx, 0.0), preferred_element_type=rx.dtype
                 )
-            ax = jnp.dot(A, jnp.where(free, vx, 0.0), preferred_element_type=rx.dtype)
-            aty = jnp.dot(A.T, jnp.where(live, vy, 0.0), preferred_element_type=rx.dtype)
+            ax = prob.matvec(jnp.where(free, vx, 0.0))
+            aty = prob.rmatvec(jnp.where(live, vy, 0.0))
             top = jnp.where(free, hx + aty, vx)
             bot = jnp.where(live, ax + factors.del_c * vy, vy)
             return jnp.concatenate([top, bot])
@@ -359,29 +354,26 @@ def solve_residual(prob: DeviceQP, factors, rx, rp, dx, dy):
     the NORMAL/LP path; the AUGMENTED path adds it explicitly) and bottom
     block ``A dx + del_c dy - rp``, masked to live rows/free columns.
     """
-    A = prob.A
     free = prob.free_mask
     dt = rx.dtype
     if isinstance(factors, NormalFactors):
         sigma = jnp.where(free, 1.0 / jnp.where(factors.dinv == 0, 1.0, factors.dinv), 1.0)
         hx = jnp.where(factors.dinv == 0, 0.0, sigma * dx)
         qx = 0.0 if prob.Q is None else jnp.dot(prob.Q, jnp.where(free, dx, 0.0), preferred_element_type=dt)
-        top = jnp.where(free, hx + qx + jnp.dot(A.T, dy, preferred_element_type=dt) - rx, 0.0)
+        top = jnp.where(free, hx + qx + prob.rmatvec(dy) - rx, 0.0)
         bot = jnp.where(
             factors.live,
-            jnp.dot(A, jnp.where(free, dx, 0.0), preferred_element_type=dt)
-            + factors.del_c * dy - rp,
+            prob.matvec(jnp.where(free, dx, 0.0)) + factors.del_c * dy - rp,
             0.0,
         )
     else:
         hx = factors.sigma * dx
         if prob.Q is not None:
             hx = hx + jnp.dot(prob.Q, jnp.where(free, dx, 0.0), preferred_element_type=dt)
-        top = jnp.where(free, hx + jnp.dot(A.T, jnp.where(factors.live, dy, 0.0), preferred_element_type=dt) - rx, 0.0)
+        top = jnp.where(free, hx + prob.rmatvec(jnp.where(factors.live, dy, 0.0)) - rx, 0.0)
         bot = jnp.where(
             factors.live,
-            jnp.dot(A, jnp.where(free, dx, 0.0), preferred_element_type=dt)
-            + factors.del_c * dy - rp,
+            prob.matvec(jnp.where(free, dx, 0.0)) + factors.del_c * dy - rp,
             0.0,
         )
     num = jnp.maximum(jnp.max(jnp.abs(top)), jnp.max(jnp.abs(bot)))

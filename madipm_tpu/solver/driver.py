@@ -130,9 +130,9 @@ class ScaleInfo(NamedTuple):
 def _apply_scaling(cfg: SolverConfig, prob: DeviceQP, x_init):
     """Max-norm row scaling capped at s_max (MadNLP set_scaling! semantics:
     scale = min(1, s_max / ||row||_inf)); objective likewise."""
-    one = jnp.asarray(1.0, prob.A.dtype)
+    one = jnp.asarray(1.0, prob.dtype)
     if cfg.scaling:
-        row_norm = jnp.max(jnp.abs(prob.A), axis=1)
+        row_norm = prob.row_inf_norm()
         con_scale = jnp.where(
             prob.row_mask, jnp.minimum(one, cfg.s_max / jnp.maximum(row_norm, 1e-30)), one
         )
@@ -143,8 +143,7 @@ def _apply_scaling(cfg: SolverConfig, prob: DeviceQP, x_init):
         con_scale = jnp.ones_like(prob.b)
         obj_scale = one
     prob_s = dataclasses.replace(
-        prob,
-        A=prob.A * con_scale[:, None],
+        prob.scale_rows(con_scale),
         b=prob.b * con_scale,
         c=prob.c * obj_scale,
         c0=prob.c0 * obj_scale,
@@ -196,7 +195,7 @@ def _update_regularization(cfg: SolverConfig, state: IPMState):
 
 
 def initialize(cfg: SolverConfig, prob: DeviceQP) -> Tuple[DeviceQP, "ScaleInfo", IPMState]:
-    dtype = prob.A.dtype
+    dtype = prob.dtype
     n, m = prob.n, prob.m
     free = prob.free_mask
 

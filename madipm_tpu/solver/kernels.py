@@ -74,13 +74,13 @@ def eval_grad(prob: DeviceQP, x):
 
 def eval_cons_residual(prob: DeviceQP, x):
     """A x - b, zeroed on padded rows (reference solver.c after rhs shift)."""
-    r = jnp.dot(prob.A, x, preferred_element_type=x.dtype) - prob.b
+    r = prob.matvec(x) - prob.b
     return jnp.where(prob.row_mask, r, 0.0)
 
 
 def eval_jty(prob: DeviceQP, y):
     """A' y (the reference's jacl, src/solver.jl:187,324)."""
-    return jnp.dot(prob.A.T, y, preferred_element_type=y.dtype)
+    return prob.rmatvec(y)
 
 
 def dual_residual(prob: DeviceQP, x, y, zl, zu):

@@ -89,7 +89,7 @@ def warm_start_state(solver, x0=None, y0=None, bound_push: float = 1e-4) -> IPMS
     cfg, prob = solver.cfg, solver.prob
     prob_s, scale, st = jax.jit(driver.initialize, static_argnums=0)(cfg, prob)
     if x0 is not None:
-        x = jnp.zeros(prob.n, prob.A.dtype).at[: len(x0)].set(jnp.asarray(x0))
+        x = jnp.zeros(prob.n, prob.dtype).at[: len(x0)].set(jnp.asarray(x0))
         lb, ub = st.lb, st.ub
         pad = bound_push
         x = jnp.where(prob.has_lb, jnp.maximum(x, lb + pad), x)
@@ -97,13 +97,13 @@ def warm_start_state(solver, x0=None, y0=None, bound_push: float = 1e-4) -> IPMS
         x = jnp.where(prob.free_mask, x, st.x)
         st = st._replace(x=x)
     if y0 is not None:
-        y = jnp.zeros(prob.m, prob.A.dtype).at[: len(y0)].set(jnp.asarray(y0))
+        y = jnp.zeros(prob.m, prob.dtype).at[: len(y0)].set(jnp.asarray(y0))
         st = st._replace(y=y)
     # Multipliers: z = mu / slack keeps products near the barrier target.
     from ..solver import kernels as K
 
     sl, su = K.slacks(dataclasses.replace(prob_s, lb=st.lb, ub=st.ub), st.x)
-    mu = jnp.asarray(cfg.mu_init, prob.A.dtype)
+    mu = jnp.asarray(cfg.mu_init, prob.dtype)
     st = st._replace(
         zl=jnp.where(prob.has_lb, mu / jnp.maximum(sl, bound_push), 0.0),
         zu=jnp.where(prob.has_ub, mu / jnp.maximum(su, bound_push), 0.0),

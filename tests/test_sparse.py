@@ -1,0 +1,148 @@
+"""Sparse device-path tests (reference analogue: coo_to_csr +
+build_normal_system + assemble_normal_system! unit behavior,
+src/utils.jl:158-308, and the CUSPARSE SpMV operator,
+ext/MadIPMCUDAExt/cuda_wrapper.jl:43-94 — validated here against scipy and
+against the dense device path)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+import madipm_tpu as mt
+from madipm_tpu.models.qp import slack_form
+from madipm_tpu.models.sparse import SparseDeviceQP, pad_sparse_to_device
+
+from conftest import random_lp, scipy_linprog
+
+OPTS = dict(print_level=mt.PrintLevel.ERROR)
+
+
+def make_sparse_lp(rng, n, m, density=0.05):
+    A = sp.random(m, n, density=density, random_state=rng, format="csr")
+    A = A + sp.diags(np.ones(m), 0, shape=(m, n), format="csr")  # full row rank-ish
+    xstar = rng.random(n) + 0.5
+    b = A @ xstar
+    c = rng.random(n) + 0.1
+    return mt.QuadraticModel(
+        c=c, A=A, lcon=b, ucon=b, lvar=np.zeros(n), uvar=np.full(n, np.inf)
+    )
+
+
+class TestSparseOperators:
+    def setup_method(self):
+        rng = np.random.default_rng(3)
+        self.qp = make_sparse_lp(rng, n=300, m=90, density=0.04)
+        self.prob = pad_sparse_to_device(slack_form(self.qp))
+        self.A = self.qp.A
+
+    def test_matvec_matches_scipy(self):
+        n_pad = self.prob.n
+        x = np.zeros(n_pad)
+        x[: self.A.shape[1]] = np.random.default_rng(0).standard_normal(self.A.shape[1])
+        got = np.asarray(self.prob.matvec(jnp.asarray(x)))
+        want = self.A @ x[: self.A.shape[1]]
+        assert np.allclose(got[: self.A.shape[0]], want, atol=1e-12)
+        assert np.allclose(got[self.A.shape[0]:], 0.0)
+
+    def test_rmatvec_matches_scipy(self):
+        m_pad = self.prob.m
+        y = np.zeros(m_pad)
+        y[: self.A.shape[0]] = np.random.default_rng(1).standard_normal(self.A.shape[0])
+        got = np.asarray(self.prob.rmatvec(jnp.asarray(y)))
+        want = self.A.T @ y[: self.A.shape[0]]
+        assert np.allclose(got[: self.A.shape[1]], want, atol=1e-12)
+
+    def test_row_inf_norm(self):
+        got = np.asarray(self.prob.row_inf_norm())
+        want = np.abs(self.A).max(axis=1).toarray().ravel()
+        assert np.allclose(got[: self.A.shape[0]], want)
+
+    def test_assemble_normal_matches_dense(self):
+        rng = np.random.default_rng(2)
+        dinv = rng.random(self.prob.n)
+        S = np.asarray(self.prob.assemble_normal_matrix(jnp.asarray(dinv), jnp.float64))
+        m = self.A.shape[0]
+        Ad = self.A.toarray()
+        want = Ad @ np.diag(dinv[: self.A.shape[1]]) @ Ad.T
+        assert np.allclose(S[:m, :m], want, atol=1e-10)
+        # padded rows/cols stay zero (pinning happens in the KKT layer)
+        assert np.allclose(S[m:, :], 0.0) and np.allclose(S[:, m:], 0.0)
+
+    def test_scale_rows_consistent(self):
+        rng = np.random.default_rng(4)
+        cs = rng.random(self.prob.m) + 0.5
+        scaled = self.prob.scale_rows(jnp.asarray(cs))
+        x = rng.standard_normal(self.prob.n)
+        got = np.asarray(scaled.matvec(jnp.asarray(x)))
+        want = np.asarray(self.prob.matvec(jnp.asarray(x))) * cs
+        assert np.allclose(got, want, atol=1e-12)
+        gr = np.asarray(scaled.rmatvec(jnp.asarray(np.ones(self.prob.m))))
+        wr = np.asarray(self.prob.rmatvec(jnp.asarray(cs)))
+        assert np.allclose(gr, wr, atol=1e-12)
+
+    def test_dense_A_raises(self):
+        with pytest.raises(NotImplementedError):
+            _ = self.prob.dense_A
+
+
+class TestSparseSolve:
+    def test_matches_dense_path_and_highs(self, rng):
+        qp = make_sparse_lp(rng, n=400, m=120, density=0.03)
+        st_sparse = mt.madipm(qp, sparse=True, **OPTS)
+        st_dense = mt.madipm(qp, sparse=False, **OPTS)
+        assert st_sparse.success and st_dense.success
+        assert st_sparse.objective == pytest.approx(st_dense.objective, rel=1e-7)
+        from scipy.optimize import linprog
+
+        bounds = [(0, None)] * qp.nvar
+        ref = linprog(qp.c, A_eq=qp.A.toarray(), b_eq=qp.lcon, bounds=bounds, method="highs")
+        assert ref.status == 0
+        assert st_sparse.objective == pytest.approx(ref.fun, rel=1e-6)
+        assert st_sparse.primal_feas < 1e-7
+
+    def test_with_upper_bounds_and_inequalities(self, rng):
+        c, A, b, lvar, uvar = random_lp(rng, n=150, m=40, density=0.1)
+        A = sp.csr_matrix(A)
+        # make some rows inequalities
+        lcon = b.copy()
+        ucon = b.copy()
+        ucon[:10] = b[:10] + 1.0
+        qp = mt.QuadraticModel(c=c, A=A, lcon=lcon, ucon=ucon, lvar=lvar, uvar=uvar)
+        st = mt.madipm(qp, sparse=True, **OPTS)
+        ref = mt.madipm(qp, sparse=False, **OPTS)
+        assert st.success and ref.success
+        assert st.objective == pytest.approx(ref.objective, rel=1e-6)
+
+    def test_sparse_rejects_qp(self, rng):
+        qp = mt.from_dense(
+            c=[0.0, 0.0], A=[[1.0, 1.0]], lcon=[1.0], ucon=[1.0],
+            lvar=[-1.0, -1.0], uvar=[2.0, 2.0], Q=[[2.0, 0.0], [0.0, 2.0]],
+        )
+        with pytest.raises(ValueError):
+            mt.madipm(qp, sparse=True, **OPTS)
+
+    def test_large_n_smoke(self, rng):
+        # tall sparse LP: n >> m, the regime the sparse path exists for
+        qp = make_sparse_lp(rng, n=3000, m=128, density=0.01)
+        st = mt.madipm(qp, sparse=True, **OPTS)
+        assert st.success
+        from scipy.optimize import linprog
+
+        ref = linprog(
+            qp.c, A_eq=qp.A.toarray(), b_eq=qp.lcon,
+            bounds=[(0, None)] * qp.nvar, method="highs",
+        )
+        assert st.objective == pytest.approx(ref.fun, rel=1e-6)
+
+    def test_empty_rows_pinned(self):
+        # a structurally empty row must not break the sparse assembly
+        A = sp.csr_matrix(np.array([[1.0, 1.0, 0.0], [0.0, 0.0, 0.0]]))
+        qp = mt.QuadraticModel(
+            c=[1.0, 1.0, 1.0], A=A, lcon=[1.0, 0.0], ucon=[1.0, 0.0],
+            lvar=np.zeros(3), uvar=np.full(3, np.inf),
+        )
+        st = mt.madipm(qp, sparse=True, **OPTS)
+        assert st.success
+        assert st.objective == pytest.approx(1.0, abs=1e-7)
