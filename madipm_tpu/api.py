@@ -90,20 +90,48 @@ class MPCSolver:
         self.cfg = driver.make_config(self.opt, is_qp=self.prob.is_qp, dtype=self.dtype)
         self.init_time = time.time() - t0
 
-    def solve(self, logged: bool = None) -> IPMStats:
+    def solve(self, logged: bool = None, trace_dir: str = None) -> IPMStats:
+        """Run the MPC loop.  ``trace_dir`` captures an XLA profiler trace
+        of the solve (utils/logging.profile_trace); ``logged`` forces the
+        per-iteration table on/off (default: on at print_level<=INFO,
+        routed through the Logger with its optional ``output_file`` sink —
+        reference: src/utils.jl:131-137)."""
+        from .utils.logging import Logger, profile_trace
+
         t0 = time.time()
         if logged is None:
-            logged = self.opt.print_level <= PrintLevel.INFO
-        if logged:
-            prob_s, scale, state = driver.solve_logged(
-                self.cfg, self.prob, max_wall_time=self.opt.max_wall_time
-            )
-        else:
-            run = jax.jit(driver.solve_device, static_argnums=0)
-            prob_s, scale, state = run(self.cfg, self.prob)
-            state = jax.tree_util.tree_map(lambda a: a.block_until_ready(), state)
+            # The per-iteration table is produced whenever EITHER sink wants
+            # it (quiet console + verbose file sink still logs — MadNLPLogger
+            # semantics, reference src/utils.jl:131-137).
+            effective = self.opt.print_level
+            if self.opt.output_file:
+                effective = min(effective, self.opt.file_print_level)
+            logged = effective <= PrintLevel.INFO
+        logger = Logger(
+            print_level=self.opt.print_level,
+            file_print_level=self.opt.file_print_level,
+            output_file=self.opt.output_file,
+        )
+        with profile_trace(trace_dir):
+            if logged:
+                prob_s, scale, state = driver.solve_logged(
+                    self.cfg,
+                    self.prob,
+                    print_fn=logger.info,
+                    max_wall_time=self.opt.max_wall_time,
+                )
+            else:
+                run = jax.jit(driver.solve_device, static_argnums=0)
+                prob_s, scale, state = run(self.cfg, self.prob)
+                state = jax.tree_util.tree_map(lambda a: a.block_until_ready(), state)
         solver_time = time.time() - t0
-        return self._build_stats(scale, state, solver_time)
+        stats = self._build_stats(scale, state, solver_time)
+        logger.notice(
+            f"EXIT: {stats.message()}  (iter={stats.iter}, "
+            f"obj={stats.objective:.8e}, time={stats.total_time:.3f}s)"
+        )
+        logger.close()
+        return stats
 
     def _build_stats(self, scale, state, solver_time) -> IPMStats:
         m0, n0 = self.model.ncon, self.model.nvar
