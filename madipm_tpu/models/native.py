@@ -63,6 +63,16 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int64,
     ]
     lib.coo_to_csr.argtypes = [ctypes.c_int64, ctypes.c_int64] + [ctypes.c_void_p] * 6
+    lib.normal_pattern_build.restype = ctypes.c_void_p
+    lib.normal_pattern_build.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+    ]
+    lib.normal_pattern_dims.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.normal_pattern_fill.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 6
+    lib.normal_pattern_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -151,3 +161,41 @@ def native_coo_to_csr(n_rows: int, Ai, Aj, Ax):
         ptr(Bp), ptr(Bj), ptr(Bx),
     )
     return Bp, Bj, Bx
+
+
+def native_normal_pattern(indptr, indices, m, n, K, m_pad):
+    """Symbolic normal-equation pattern via the C++ builder (reference
+    ``build_normal_system``, src/utils.jl:209-274).  Returns the same six
+    arrays as models.sparse.build_normal_pattern.
+
+    Raises RuntimeError if the native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not available")
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    ptr = lambda a: a.ctypes.data_as(ctypes.c_void_p)
+    h = lib.normal_pattern_build(
+        ctypes.c_int64(m), ctypes.c_int64(n), ctypes.c_int64(K),
+        ptr(indptr), ptr(indices), ctypes.c_int64(m_pad),
+    )
+    if not h:
+        raise RuntimeError("normal_pattern_build failed")
+    try:
+        P = ctypes.c_int64()
+        nnzS = ctypes.c_int64()
+        lib.normal_pattern_dims(h, ctypes.byref(P), ctypes.byref(nnzS))
+        pair_a = np.empty(P.value, dtype=np.int32)
+        pair_b = np.empty(P.value, dtype=np.int32)
+        pair_col = np.empty(P.value, dtype=np.int32)
+        seg_id = np.empty(P.value, dtype=np.int32)
+        s_low = np.empty(nnzS.value, dtype=np.int32)
+        s_up = np.empty(nnzS.value, dtype=np.int32)
+        lib.normal_pattern_fill(
+            ctypes.c_void_p(h), ptr(pair_a), ptr(pair_b), ptr(pair_col),
+            ptr(seg_id), ptr(s_low), ptr(s_up),
+        )
+    finally:
+        lib.normal_pattern_free(ctypes.c_void_p(h))
+    return pair_a, pair_b, pair_col, seg_id, s_low, s_up

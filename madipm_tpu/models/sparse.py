@@ -300,7 +300,18 @@ def pad_sparse_to_device(
     AT = A.T.tocsr()
     AT.sort_indices()
     tval, tidx, _ = _to_ell(AT, np_, mp)
-    pattern = build_normal_pattern(A, ell_pos, mp)
+
+    # Symbolic analysis: C++ builder when available (native/mps_native.cpp,
+    # the reference's build_normal_system role), Python fallback otherwise.
+    from . import native as _native
+
+    if _native.available():
+        pa, pb, pc, sid, slo, sup = _native.native_normal_pattern(
+            A.indptr, A.indices, m, n, val.shape[1], mp
+        )
+        pattern = NormalPattern(pa, pb, pc, sid, slo, sup)
+    else:
+        pattern = build_normal_pattern(A, ell_pos, mp)
 
     def vecpad(v, size, fill=0.0):
         out = np.full(size, fill, dtype=np.float64)

@@ -10,6 +10,7 @@
 //
 // Build: make -C native   (produces libmadipm_native.so)
 
+#include <algorithm>
 #include <cctype>
 #include <cmath>
 #include <cstdint>
@@ -307,5 +308,124 @@ void coo_to_csr(int64_t n_rows, int64_t nnz, const int32_t* Ai,
     Bx[dest] = Ax[k];
   }
 }
+
+// ---------------------------------------------------------------------------
+// Normal-equation symbolic analysis (reference build_normal_system,
+// src/utils.jl:209-274).  Produces the sorted pair list the device
+// segment-sum assembly consumes (madipm_tpu/models/sparse.py): for every
+// column j of A with nonzero rows r_0 < ... < r_{k-1}, all ordered pairs
+// (r_a >= r_b) contribute A[r_a,j]*A[r_b,j]*dinv[j] to S[r_a, r_b].
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct NormalPatternData {
+  std::vector<int32_t> pair_a, pair_b, pair_col, seg_id;
+  std::vector<int32_t> s_low, s_up;
+};
+
+}  // namespace
+
+// Build from CSR(indptr int64[m+1], indices int32[nnz]); K = ELL row width
+// (pair_a/pair_b are flat indices row*K + slot into the padded ELL value
+// array); m_pad = padded row count (destination keys are i*m_pad+j).
+void* normal_pattern_build(int64_t m, int64_t n, int64_t K,
+                           const int64_t* indptr, const int32_t* indices,
+                           int64_t m_pad) {
+  int64_t nnz = indptr[m];
+  // CSC bucketing of (row, ell_pos) per column; CSR scan order keeps rows
+  // ascending within each column.
+  std::vector<int64_t> col_count(n + 1, 0);
+  for (int64_t p = 0; p < nnz; p++) col_count[indices[p] + 1]++;
+  for (int64_t j = 0; j < n; j++) col_count[j + 1] += col_count[j];
+  std::vector<int32_t> csc_row(nnz);
+  std::vector<int64_t> csc_ell(nnz);
+  {
+    std::vector<int64_t> next(col_count.begin(), col_count.end() - 1);
+    for (int64_t i = 0; i < m; i++) {
+      for (int64_t p = indptr[i]; p < indptr[i + 1]; p++) {
+        int32_t j = indices[p];
+        int64_t dest = next[j]++;
+        csc_row[dest] = (int32_t)i;
+        csc_ell[dest] = i * K + (p - indptr[i]);
+      }
+    }
+  }
+
+  int64_t P = 0;
+  for (int64_t j = 0; j < n; j++) {
+    int64_t k = col_count[j + 1] - col_count[j];
+    P += k * (k + 1) / 2;
+  }
+
+  auto* d = new NormalPatternData();
+  d->pair_a.reserve(P);
+  d->pair_b.reserve(P);
+  d->pair_col.reserve(P);
+  std::vector<int64_t> key(P);
+  int64_t q = 0;
+  for (int64_t j = 0; j < n; j++) {
+    int64_t lo = col_count[j], hi = col_count[j + 1];
+    for (int64_t a = lo; a < hi; a++) {
+      for (int64_t b = lo; b <= a; b++) {
+        d->pair_a.push_back((int32_t)csc_ell[a]);
+        d->pair_b.push_back((int32_t)csc_ell[b]);
+        d->pair_col.push_back((int32_t)j);
+        key[q++] = (int64_t)csc_row[a] * m_pad + csc_row[b];
+      }
+    }
+  }
+
+  // Sort pairs by destination, assign segment ids over unique destinations.
+  std::vector<int64_t> order(P);
+  for (int64_t i = 0; i < P; i++) order[i] = i;
+  std::sort(order.begin(), order.end(),
+            [&key](int64_t x, int64_t y) { return key[x] < key[y]; });
+
+  NormalPatternData out;
+  out.pair_a.resize(P);
+  out.pair_b.resize(P);
+  out.pair_col.resize(P);
+  out.seg_id.resize(P);
+  int64_t prev_key = -1;
+  int32_t seg = -1;
+  for (int64_t i = 0; i < P; i++) {
+    int64_t src = order[i];
+    out.pair_a[i] = d->pair_a[src];
+    out.pair_b[i] = d->pair_b[src];
+    out.pair_col[i] = d->pair_col[src];
+    int64_t kk = key[src];
+    if (kk != prev_key) {
+      seg++;
+      prev_key = kk;
+      out.s_low.push_back((int32_t)kk);
+      int64_t ui = kk / m_pad, uj = kk % m_pad;
+      out.s_up.push_back((int32_t)(uj * m_pad + ui));
+    }
+    out.seg_id[i] = seg;
+  }
+  *d = std::move(out);
+  return d;
+}
+
+void normal_pattern_dims(void* h, int64_t* P, int64_t* nnzS) {
+  auto* d = static_cast<NormalPatternData*>(h);
+  *P = (int64_t)d->pair_a.size();
+  *nnzS = (int64_t)d->s_low.size();
+}
+
+void normal_pattern_fill(void* h, int32_t* pair_a, int32_t* pair_b,
+                         int32_t* pair_col, int32_t* seg_id, int32_t* s_low,
+                         int32_t* s_up) {
+  auto* d = static_cast<NormalPatternData*>(h);
+  std::memcpy(pair_a, d->pair_a.data(), d->pair_a.size() * sizeof(int32_t));
+  std::memcpy(pair_b, d->pair_b.data(), d->pair_b.size() * sizeof(int32_t));
+  std::memcpy(pair_col, d->pair_col.data(), d->pair_col.size() * sizeof(int32_t));
+  std::memcpy(seg_id, d->seg_id.data(), d->seg_id.size() * sizeof(int32_t));
+  std::memcpy(s_low, d->s_low.data(), d->s_low.size() * sizeof(int32_t));
+  std::memcpy(s_up, d->s_up.data(), d->s_up.size() * sizeof(int32_t));
+}
+
+void normal_pattern_free(void* h) { delete static_cast<NormalPatternData*>(h); }
 
 }  // extern "C"

@@ -146,3 +146,43 @@ class TestSparseSolve:
         st = mt.madipm(qp, sparse=True, **OPTS)
         assert st.success
         assert st.objective == pytest.approx(1.0, abs=1e-7)
+
+
+class TestNativePattern:
+    def test_native_matches_python(self):
+        from madipm_tpu.models import native as native_mod
+        from madipm_tpu.models.sparse import (
+            NormalPattern, _to_ell, build_normal_pattern,
+        )
+
+        if not native_mod.available():
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(9)
+        A = sp.random(37, 120, density=0.08, random_state=13, format="csr")
+        A = A + sp.diags(np.ones(37), 0, shape=(37, 120), format="csr")
+        A.sort_indices()
+        mp = 64
+        val, idx, ell_pos = _to_ell(A, mp, 128)
+        py = build_normal_pattern(A, ell_pos, mp)
+        pa, pb, pc, sid, slo, sup = native_mod.native_normal_pattern(
+            A.indptr, A.indices, A.shape[0], A.shape[1], val.shape[1], mp
+        )
+        nat = NormalPattern(pa, pb, pc, sid, slo, sup)
+        # identical unique destinations
+        assert np.array_equal(py.s_low, nat.s_low)
+        assert np.array_equal(py.s_up, nat.s_up)
+        assert py.pair_a.size == nat.pair_a.size
+        # same assembled matrix for a random diagonal
+        dinv = np.random.default_rng(1).random(128)
+        flat = val.reshape(-1)
+
+        def assemble(p):
+            contrib = flat[p.pair_a] * flat[p.pair_b] * dinv[p.pair_col]
+            snz = np.zeros(p.s_low.size)
+            np.add.at(snz, p.seg_id, contrib)
+            S = np.zeros(mp * mp)
+            S[p.s_low] = snz
+            S[p.s_up] = snz
+            return S.reshape(mp, mp)
+
+        assert np.allclose(assemble(py), assemble(nat), atol=1e-12)
