@@ -173,6 +173,7 @@ def from_mps(
     presolve: bool = True,
     scale: bool = True,
     reformulate: bool = True,
+    sparse: Optional[bool] = None,
     **options,
 ) -> IPMStats:
     """Full reference pipeline from an MPS/QPS file: import -> presolve ->
@@ -232,7 +233,7 @@ def from_mps(
     if reformulate:
         qp = standard_form(qp)
 
-    stats = madipm(qp, **options)
+    stats = madipm(qp, sparse=sparse, **options)
 
     # Postsolve: undo standard form (first nvar entries), Ruiz, presolve.
     nred = (post.keep_cols.size if post is not None else qp0.nvar)

@@ -168,13 +168,17 @@ class SparseDeviceQP:
             * dinv.astype(factor_dtype)[self.pair_col]
         )
         nnz_s = self.s_low.shape[0]
+        # Padding contract (batched buckets, parallel/batch.py): padded pair
+        # slots carry seg_id == nnz_s (out of range -> dropped by
+        # segment_sum); padded destination slots carry s_low/s_up == m*m
+        # (out of bounds -> dropped by mode="drop").
         snz = jax.ops.segment_sum(
             contrib, self.seg_id, num_segments=nnz_s, indices_are_sorted=True
         )
         S = jnp.zeros((m * m,), factor_dtype)
         # s_up == s_low on the diagonal: the second scatter rewrites the
         # same value, which .set tolerates.
-        S = S.at[self.s_low].set(snz).at[self.s_up].set(snz)
+        S = S.at[self.s_low].set(snz, mode="drop").at[self.s_up].set(snz, mode="drop")
         return S.reshape(m, m)
 
 
@@ -183,13 +187,19 @@ class SparseDeviceQP:
 # ---------------------------------------------------------------------------
 
 
-def _to_ell(A: sp.csr_matrix, rows_pad: int, cols_pad: int, k_pad_mult: int = 8):
+def _to_ell(A: sp.csr_matrix, rows_pad: int, cols_pad: int, k_pad_mult: int = 8,
+            k_width: Optional[int] = None):
     """CSR -> padded ELL ([rows_pad, K] values/indices) plus, for each CSR
-    nonzero in order, its flat ELL position (rows * K + slot)."""
+    nonzero in order, its flat ELL position (rows * K + slot).  ``k_width``
+    forces the padded lane width (batched buckets need one shared K)."""
     m = A.shape[0]
     counts = np.diff(A.indptr)
     K = int(counts.max()) if counts.size and counts.max() > 0 else 1
     K = _round_up(K, k_pad_mult)
+    if k_width is not None:
+        if k_width < K:
+            raise ValueError(f"k_width {k_width} < required {K}")
+        K = k_width
     val = np.zeros((rows_pad, K), dtype=np.float64)
     idx = np.zeros((rows_pad, K), dtype=np.int32)
     # slot of each nonzero within its row = position - indptr[row]
@@ -276,9 +286,19 @@ def pad_sparse_to_device(
     pad_multiple: int = 128,
     m_pad: Optional[int] = None,
     n_pad: Optional[int] = None,
+    ell_k: Optional[int] = None,
+    ell_kt: Optional[int] = None,
+    pattern_p: Optional[int] = None,
+    pattern_nnzs: Optional[int] = None,
 ) -> SparseDeviceQP:
     """Pack a host equality-form LP into a padded ELL SparseDeviceQP
-    (sparse counterpart of :func:`madipm_tpu.models.qp.pad_to_device`)."""
+    (sparse counterpart of :func:`madipm_tpu.models.qp.pad_to_device`).
+
+    The optional size overrides (``ell_k``/``ell_kt`` lane widths,
+    ``pattern_p``/``pattern_nnzs`` pair/destination counts) let a batch of
+    different sparsity patterns share one padded shape for vmapping
+    (parallel/batch.bucket_pad_sparse); padded pattern slots are marked
+    with out-of-range indices that the device assembly drops."""
     if qp.Q is not None:
         raise ValueError("sparse device path is LP-only (Q must be None)")
     if np.any(qp.lcon != qp.ucon):
@@ -296,10 +316,10 @@ def pad_sparse_to_device(
     A.sum_duplicates()
     A.eliminate_zeros()
 
-    val, idx, ell_pos = _to_ell(A, mp, np_)
+    val, idx, ell_pos = _to_ell(A, mp, np_, k_width=ell_k)
     AT = A.T.tocsr()
     AT.sort_indices()
-    tval, tidx, _ = _to_ell(AT, np_, mp)
+    tval, tidx, _ = _to_ell(AT, np_, mp, k_width=ell_kt)
 
     # Symbolic analysis: C++ builder when available (native/mps_native.cpp,
     # the reference's build_normal_system role), Python fallback otherwise.
@@ -312,6 +332,30 @@ def pad_sparse_to_device(
         pattern = NormalPattern(pa, pb, pc, sid, slo, sup)
     else:
         pattern = build_normal_pattern(A, ell_pos, mp)
+
+    if pattern_p is not None or pattern_nnzs is not None:
+        P0 = pattern.pair_a.size
+        S0 = pattern.s_low.size
+        Pp = pattern_p if pattern_p is not None else P0
+        Sp = pattern_nnzs if pattern_nnzs is not None else S0
+        if Pp < P0 or Sp < S0:
+            raise ValueError("pattern pad sizes smaller than actual pattern")
+
+        def padi(a, size, fill):
+            out = np.full(size, fill, dtype=np.int32)
+            out[: a.size] = a
+            return out
+
+        pattern = NormalPattern(
+            pair_a=padi(pattern.pair_a, Pp, 0),
+            pair_b=padi(pattern.pair_b, Pp, 0),
+            pair_col=padi(pattern.pair_col, Pp, 0),
+            # out-of-range segment -> dropped by segment_sum
+            seg_id=padi(pattern.seg_id, Pp, Sp),
+            # out-of-bounds destination -> dropped by mode="drop"
+            s_low=padi(pattern.s_low, Sp, mp * mp),
+            s_up=padi(pattern.s_up, Sp, mp * mp),
+        )
 
     def vecpad(v, size, fill=0.0):
         out = np.full(size, fill, dtype=np.float64)

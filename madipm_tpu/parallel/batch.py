@@ -50,6 +50,40 @@ def bucket_pad(models: Sequence[QuadraticModel], pad_multiple: int = 128, dtype=
     return stack_problems(probs), slacked
 
 
+def bucket_pad_sparse(
+    models: Sequence[QuadraticModel], pad_multiple: int = 128, dtype=jnp.float64
+):
+    """Slack-form + pad a set of sparse LPs to one common ELL bucket shape.
+
+    Different sparsity patterns share padded ELL lane widths and pattern
+    lengths; padded slots are marked with out-of-range indices the device
+    assembly drops (models/sparse.pad_sparse_to_device padding contract)."""
+    from ..models.qp import _round_up
+    from ..models.sparse import pad_sparse_to_device
+
+    slacked = [slack_form(m) for m in models]
+    m_pad = max(pad_multiple, *(_round_up(s.ncon, pad_multiple) for s in slacked))
+    n_pad = max(pad_multiple, *(_round_up(s.nvar, pad_multiple) for s in slacked))
+    # Two-pass: build each at its natural sizes, then rebuild at the maxima.
+    first = [
+        pad_sparse_to_device(s, dtype=dtype, m_pad=m_pad, n_pad=n_pad) for s in slacked
+    ]
+    ell_k = max(p.A_val.shape[1] for p in first)
+    ell_kt = max(p.AT_val.shape[1] for p in first)
+    pattern_p = max(p.pair_a.shape[0] for p in first)
+    pattern_nnzs = max(p.s_low.shape[0] for p in first)
+    probs = [
+        pad_sparse_to_device(
+            s, dtype=dtype, m_pad=m_pad, n_pad=n_pad,
+            ell_k=ell_k, ell_kt=ell_kt,
+            pattern_p=pattern_p, pattern_nnzs=pattern_nnzs,
+        )
+        for s in slacked
+    ]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *probs)
+    return stacked, slacked
+
+
 def solve_batched(
     cfg: driver.SolverConfig,
     probs: DeviceQP,
@@ -110,16 +144,22 @@ def madipm_batch(
     mesh: Optional[Mesh] = None,
     pad_multiple: int = 128,
     dtype=jnp.float64,
+    sparse: bool = False,
     **options,
 ) -> List[IPMStats]:
-    """Solve many LP/QP instances in one sharded, vmapped device program."""
+    """Solve many LP/QP instances in one sharded, vmapped device program.
+
+    ``sparse=True`` uses the ELL sparse Jacobian bucket (LP only)."""
     import time as _time
 
     from ..api import _ensure_x64
 
     _ensure_x64()
     opt = load_options(**options)
-    probs, slacked = bucket_pad(models, pad_multiple=pad_multiple, dtype=dtype)
+    if sparse:
+        probs, slacked = bucket_pad_sparse(models, pad_multiple=pad_multiple, dtype=dtype)
+    else:
+        probs, slacked = bucket_pad(models, pad_multiple=pad_multiple, dtype=dtype)
     is_qp = probs.Q is not None
     cfg = driver.make_config(opt, is_qp=is_qp, dtype=dtype)
     t0 = _time.time()

@@ -122,6 +122,9 @@ def main():
     ap.add_argument("--tol", type=float, default=1e-8)
     ap.add_argument("--no-reformulate", action="store_true",
                     help="skip standard-form reformulation (reference reformulate=false default)")
+    ap.add_argument("--sparse", action="store_true",
+                    help="use the ELL sparse Jacobian path (serial mode, LP only) "
+                         "for large instances the dense padded layout can't hold")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = ap.parse_args()
 
@@ -183,7 +186,7 @@ def main():
     if args.mode == "serial":
         for name, model, p in prepared:
             try:
-                stats = mt.madipm(p, **opts)
+                stats = mt.madipm(p, sparse=True if args.sparse else None, **opts)
                 rows.append(record_row(name, p, stats))
                 log(f"{name}: status={stats.status.name} iter={stats.iter} "
                     f"obj={stats.objective:.6e} time={stats.total_time:.3f}s")

@@ -186,3 +186,31 @@ class TestNativePattern:
             return S.reshape(mp, mp)
 
         assert np.allclose(assemble(py), assemble(nat), atol=1e-12)
+
+
+class TestBatchedSparse:
+    def test_batched_matches_serial(self):
+        from madipm_tpu.parallel.batch import madipm_batch
+
+        rng = np.random.default_rng(33)
+        # deliberately different shapes AND sparsity patterns per instance
+        models = [
+            make_sparse_lp(rng, n=200 + 40 * i, m=50 + 10 * i, density=0.03 + 0.01 * i)
+            for i in range(4)
+        ]
+        batched = madipm_batch(models, sparse=True, **OPTS)
+        for mdl, bs in zip(models, batched):
+            ss = mt.madipm(mdl, sparse=True, **OPTS)
+            assert bs.success and ss.success
+            assert bs.objective == pytest.approx(ss.objective, rel=1e-7), mdl.name
+
+    def test_batched_sparse_sharded(self):
+        import jax
+        from madipm_tpu.parallel.batch import madipm_batch
+        from madipm_tpu.parallel.mesh import make_mesh
+
+        rng = np.random.default_rng(7)
+        models = [make_sparse_lp(rng, n=160, m=40, density=0.05) for _ in range(8)]
+        mesh = make_mesh(len(jax.devices()))
+        batched = madipm_batch(models, mesh=mesh, sparse=True, **OPTS)
+        assert all(b.success for b in batched)
