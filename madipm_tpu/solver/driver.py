@@ -50,6 +50,8 @@ class SolverConfig:
 
     kkt: KKTConfig
     tol: float
+    acceptable_tol: float
+    acceptable_iter: int
     max_iter: int
     divergence_tol: float
     mu_init: float
@@ -98,6 +100,8 @@ def make_config(opt: IPMOptions, is_qp: bool, dtype=jnp.float64) -> SolverConfig
     return SolverConfig(
         kkt=kcfg,
         tol=opt.tol,
+        acceptable_tol=opt.acceptable_tol,
+        acceptable_iter=opt.acceptable_iter,
         max_iter=opt.max_iter,
         divergence_tol=opt.divergence_tol,
         mu_init=opt.mu_init,
@@ -329,7 +333,16 @@ def update_termination(cfg: SolverConfig, prob: DeviceQP, state: IPMState) -> IP
     inf_compl = K.complementarity_inf(prob, x, zl, zu) / jnp.maximum(1.0, state.norm_c)
     best = jnp.minimum(state.best_compl, inf_compl)
 
-    converged = jnp.maximum(jnp.maximum(inf_pr, inf_du), inf_compl) <= cfg.tol
+    res_max = jnp.maximum(jnp.maximum(inf_pr, inf_du), inf_compl)
+    converged = res_max <= cfg.tol
+    # Acceptable-level exit (MadNLP semantics the reference inherits:
+    # acceptable_tol/acceptable_iter — stalling inside the looser tolerance
+    # for several consecutive iterations exits SOLVED_TO_ACCEPTABLE_LEVEL
+    # instead of burning the full iteration budget; fp32-factored solves at
+    # large scale hit their attainable floor this way).
+    in_acc = res_max <= cfg.acceptable_tol
+    n_acc = jnp.where(in_acc, state.n_acceptable + 1, 0).astype(jnp.int32)
+    acceptable = in_acc & (n_acc >= cfg.acceptable_iter)
     infeasible = (inf_compl > cfg.divergence_tol * best) & (
         dobj > jnp.maximum(10.0 * jnp.abs(obj), 1.0)
     )
@@ -342,18 +355,24 @@ def update_termination(cfg: SolverConfig, prob: DeviceQP, state: IPMState) -> IP
         converged,
         int(Status.SOLVE_SUCCEEDED),
         jnp.where(
-            infeasible,
-            int(Status.INFEASIBLE_PROBLEM_DETECTED),
+            acceptable,
+            int(Status.SOLVED_TO_ACCEPTABLE_LEVEL),
             jnp.where(
-                diverging,
-                int(Status.DIVERGING_ITERATES),
-                jnp.where(max_iter, int(Status.MAXIMUM_ITERATIONS_EXCEEDED), state.status),
+                infeasible,
+                int(Status.INFEASIBLE_PROBLEM_DETECTED),
+                jnp.where(
+                    diverging,
+                    int(Status.DIVERGING_ITERATES),
+                    jnp.where(
+                        max_iter, int(Status.MAXIMUM_ITERATIONS_EXCEEDED), state.status
+                    ),
+                ),
             ),
         ),
     ).astype(jnp.int32)
     return state._replace(
         obj_val=obj, inf_pr=inf_pr, inf_du=inf_du, inf_compl=inf_compl,
-        best_compl=best, status=status,
+        best_compl=best, status=status, n_acceptable=n_acc,
     )
 
 

@@ -64,6 +64,9 @@ class IPMState(NamedTuple):
     # Diagnostics of the last linear solve (residual ratio; feeds
     # check_residual semantics, reference src/linear_solver.jl:28-43)
     lin_resid: jax.Array
+    # Consecutive iterations inside acceptable_tol (MadNLP acceptable-level
+    # exit semantics the reference inherits; SURVEY §2.4 status machinery)
+    n_acceptable: jax.Array  # int32
 
 
 def init_state(n: int, m: int, dtype=jnp.float64) -> IPMState:
@@ -82,4 +85,5 @@ def init_state(n: int, m: int, dtype=jnp.float64) -> IPMState:
         k=jnp.asarray(0, jnp.int32),
         status=jnp.asarray(int(Status.INITIAL), jnp.int32),
         lin_resid=sc(0.0),
+        n_acceptable=jnp.asarray(0, jnp.int32),
     )

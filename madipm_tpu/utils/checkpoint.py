@@ -32,8 +32,13 @@ def load_state(path: str, dtype=jnp.float64) -> IPMState:
     data = np.load(path)
     kwargs = {}
     for f in IPMState._fields:
+        if f not in data:
+            # Field added after the checkpoint was written: integer counters
+            # restart at 0 (forward-compatible resume).
+            kwargs[f] = jnp.asarray(0, jnp.int32)
+            continue
         arr = data[f]
-        if f in ("k", "status"):
+        if f in ("k", "status", "n_acceptable"):
             kwargs[f] = jnp.asarray(arr, jnp.int32)
         else:
             kwargs[f] = jnp.asarray(arr, dtype)

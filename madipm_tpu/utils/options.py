@@ -172,6 +172,12 @@ class IPMOptions:
     max_wall_time: float = 1e6
     divergence_tol: float = 1e4
     kappa_d: float = 1e-5
+    #: looser tolerance for the acceptable-level exit (MadNLP machinery the
+    #: reference inherits): stalling inside acceptable_tol for
+    #: acceptable_iter consecutive iterations returns
+    #: SOLVED_TO_ACCEPTABLE_LEVEL instead of iterating to max_iter.
+    acceptable_tol: float = 1e-6
+    acceptable_iter: int = 15
 
     # Initialization options
     scaling: bool = True

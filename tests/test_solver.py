@@ -349,3 +349,27 @@ class TestCheckResidual:
             check_residual=True, tol_linear_solve=1e-30,
         )
         assert s.status == mt.Status.ERROR_IN_STEP_COMPUTATION
+
+
+class TestAcceptableLevel:
+    def test_acceptable_exit_instead_of_max_iter(self, rng):
+        """With an unreachable tol, the solver must settle at the acceptable
+        level (MadNLP acceptable_tol/acceptable_iter semantics) instead of
+        burning max_iter."""
+        import madipm_tpu as mt
+        from conftest import random_lp
+
+        c, A, b, lvar, uvar = random_lp(rng, n=40, m=12)
+        qp = mt.from_dense(c=c, A=A, lcon=b, ucon=b, lvar=lvar, uvar=uvar)
+        stats = mt.madipm(
+            qp,
+            tol=1e-30,  # unattainable
+            acceptable_tol=1e-6,
+            acceptable_iter=3,
+            max_iter=200,
+            print_level=mt.PrintLevel.ERROR,
+        )
+        assert stats.status == mt.Status.SOLVED_TO_ACCEPTABLE_LEVEL
+        assert stats.success
+        assert stats.iter < 200
+        assert max(stats.primal_feas, stats.dual_feas, stats.complementarity) <= 1e-6
