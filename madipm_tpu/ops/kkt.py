@@ -71,6 +71,7 @@ class AugmentedFactors(NamedTuple):
     sigma: jax.Array  # barrier diagonal (residual dtype, for refinement matvec)
     del_c: jax.Array
     live: jax.Array  # as above: structurally nonempty constraint rows
+    jac: jax.Array  # K2.5 symmetric scaling |diag(K)|^-1/2 (ones for plain K2)
 
 
 # ---------------------------------------------------------------------------
@@ -184,13 +185,23 @@ def factorize(cfg: KKTConfig, prob: DeviceQP, x, zl, zu, del_w, del_c):
             )
         else:
             K, live = _assemble_augmented(prob, sigma, dc, cfg.factor_dtype)
+            if cfg.kind == KKTSystem.SCALED_AUGMENTED:
+                # K2.5: symmetric |diag|^-1/2 scaling before the factor (the
+                # reference's ScaledSparseKKTSystem conditioning role,
+                # src/kernels.jl:138-149).  The factor holds Khat = J K J;
+                # solves unscale through J (solve_condensed).
+                dK = jnp.abs(jnp.diagonal(K))
+                jac = jax.lax.rsqrt(jnp.maximum(dK, jnp.finfo(cfg.factor_dtype).tiny))
+                K = K * jac[:, None] * jac[None, :]
+            else:
+                jac = jnp.ones(K.shape[-1], cfg.factor_dtype)
             if cfg.linear_solver == LinearSolver.LU:
                 lu, piv = linalg.lu_factor(K)
                 ok = linalg.lu_is_ok(lu)
                 return (
                     AugmentedFactors(
                         Lfac=lu, dfac=piv, sigma=sigma,
-                        del_c=jnp.asarray(dc, rdtype), live=live,
+                        del_c=jnp.asarray(dc, rdtype), live=live, jac=jac,
                     ),
                     ok,
                 )
@@ -204,7 +215,7 @@ def factorize(cfg: KKTConfig, prob: DeviceQP, x, zl, zu, del_w, del_c):
                 return (
                     AugmentedFactors(
                         Lfac=W, dfac=d, sigma=sigma,
-                        del_c=jnp.asarray(dc, rdtype), live=live,
+                        del_c=jnp.asarray(dc, rdtype), live=live, jac=jac,
                     ),
                     ok,
                 )
@@ -214,7 +225,7 @@ def factorize(cfg: KKTConfig, prob: DeviceQP, x, zl, zu, del_w, del_c):
                 return (
                     AugmentedFactors(
                         Lfac=L, dfac=d, sigma=sigma,
-                        del_c=jnp.asarray(dc, rdtype), live=live,
+                        del_c=jnp.asarray(dc, rdtype), live=live, jac=jac,
                     ),
                     ok,
                 )
@@ -300,18 +311,23 @@ def solve_condensed(cfg: KKTConfig, prob: DeviceQP, factors, rx, rp, pcg_budget:
         rhs = jnp.concatenate(
             [jnp.where(free, rx, 0.0), jnp.where(live, rp, 0.0)]
         )
+        # K2.5 scaling: K = J^-1 Khat J^-1 with the factor holding Khat,
+        # so K^-1 b = J Khat^-1 J b (jac == ones for plain K2).
+        jac = factors.jac
+
         if cfg.linear_solver == LinearSolver.LU:
-            solve_fn = lambda b: linalg.lu_solve(
+            raw = lambda b: linalg.lu_solve(
                 factors.Lfac, factors.dfac, b.astype(factors.Lfac.dtype)
-            ).astype(rx.dtype)
+            )
         elif cfg.linear_solver == LinearSolver.LDL_INV:
-            solve_fn = lambda b: block_chol.ldl_inv_solve(
+            raw = lambda b: block_chol.ldl_inv_solve(
                 factors.Lfac, factors.dfac, b.astype(factors.Lfac.dtype)
-            ).astype(rx.dtype)
+            )
         else:
-            solve_fn = lambda b: linalg.ldl_solve(
+            raw = lambda b: linalg.ldl_solve(
                 factors.Lfac, factors.dfac, b.astype(factors.Lfac.dtype)
-            ).astype(rx.dtype)
+            )
+        solve_fn = lambda b: (jac * raw((b * jac))).astype(rx.dtype)
 
         def matvec(v):
             # Exact fp64 augmented operator from the original pieces.

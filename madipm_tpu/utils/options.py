@@ -104,12 +104,17 @@ class KKTSystem(enum.Enum):
       (reference: src/KKT/normalkkt.jl)
     - AUGMENTED: K2 augmented system [Sigma+Q A'; A del_c], quasi-definite.
       (reference: MadNLP.SparseKKTSystem selected via IPMOptions.kkt_system)
+    - SCALED_AUGMENTED: K2.5 — the augmented system symmetrically scaled by
+      |diag|^-1/2 before the low-precision factorization (the conditioning
+      role of the reference's ScaledSparseKKTSystem and its special
+      positive-diagonal set_aug_diagonal_reg!, src/kernels.jl:138-149).
     The TPU compute path is dense-blocked either way; sparse inputs are packed
     on host (TPUs prefer big MXU matmuls over pointer chasing).
     """
 
     NORMAL = "normal"
     AUGMENTED = "augmented"
+    SCALED_AUGMENTED = "scaled_augmented"
 
 
 class LinearSolver(enum.Enum):

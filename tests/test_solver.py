@@ -373,3 +373,39 @@ class TestAcceptableLevel:
         assert stats.success
         assert stats.iter < 200
         assert max(stats.primal_feas, stats.dual_feas, stats.complementarity) <= 1e-6
+
+
+class TestScaledAugmented:
+    def test_k25_matches_default(self, rng):
+        """K2.5 scaled augmented system reaches the same solution as plain K2
+        (reference test: ScaledSparseKKTSystem vs default agreement,
+        test/runtests.jl:107-120)."""
+        import madipm_tpu as mt
+
+        n, meq = 24, 8
+        A = rng.standard_normal((meq, n))
+        xstar = rng.random(n) + 0.5
+        b = A @ xstar
+        P = rng.standard_normal((n, n))
+        Q = P.T @ P + np.eye(n)
+        c = rng.random(n)
+        qp = mt.from_dense(c=c, A=A, lcon=b, ucon=b, lvar=np.zeros(n),
+                           uvar=np.full(n, np.inf), Q=Q)
+        ref = mt.madipm(qp, print_level=mt.PrintLevel.ERROR)
+        k25 = mt.madipm(qp, kkt_system=mt.KKTSystem.SCALED_AUGMENTED,
+                        print_level=mt.PrintLevel.ERROR)
+        assert ref.success and k25.success
+        assert k25.objective == pytest.approx(ref.objective, rel=1e-7)
+        assert np.allclose(k25.solution, ref.solution, atol=1e-5)
+
+    def test_k25_lp(self, rng):
+        import madipm_tpu as mt
+        from conftest import random_lp
+
+        c, A, b, lvar, uvar = random_lp(rng, n=30, m=10)
+        qp = mt.from_dense(c=c, A=A, lcon=b, ucon=b, lvar=lvar, uvar=uvar)
+        st = mt.madipm(qp, kkt_system=mt.KKTSystem.SCALED_AUGMENTED,
+                       print_level=mt.PrintLevel.ERROR)
+        ref = mt.madipm(qp, print_level=mt.PrintLevel.ERROR)
+        assert st.success
+        assert st.objective == pytest.approx(ref.objective, rel=1e-7)
