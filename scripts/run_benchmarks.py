@@ -83,6 +83,34 @@ def make_synthetic(k: int, seed0: int = 1234):
     return models
 
 
+def make_synthetic_qp(k: int, seed0: int = 4321):
+    """Feasible convex QPs (the Maros-Meszaros suite role,
+    scripts/benchmarks_cpu.jl:66-70): random PSD Hessian + equality rows +
+    bounds; solved with the AUGMENTED/K2 path."""
+    import madipm_tpu as mt
+
+    sizes = [(32, 96), (48, 128), (24, 64)]
+    models = []
+    for i in range(k):
+        m, n = sizes[i % len(sizes)]
+        rng = np.random.default_rng(seed0 + i)
+        A = rng.standard_normal((m, n))
+        xstar = rng.random(n) + 0.5
+        b = A @ xstar
+        P = rng.standard_normal((n, n // 2)) / np.sqrt(n)
+        Q = P @ P.T + 0.1 * np.eye(n)
+        uvar = np.full(n, np.inf)
+        ub = rng.random(n) < 0.3
+        uvar[ub] = xstar[ub] + rng.random(ub.sum())
+        models.append(
+            mt.from_dense(
+                c=rng.standard_normal(n), A=A, lcon=b, ucon=b,
+                lvar=np.zeros(n), uvar=uvar, Q=Q, name=f"synthqp{i}",
+            )
+        )
+    return models
+
+
 def prepare(model, reformulate: bool):
     """presolve -> Ruiz scale -> standard form (reference pipeline,
     scripts/benchmarks_gpu.jl:28-32)."""
@@ -116,6 +144,8 @@ def main():
     ap.add_argument("--probs", help="file listing instance filenames (one per line)")
     ap.add_argument("--exclude", help="file listing instances to skip")
     ap.add_argument("--synthetic", type=int, default=0, help="generate N synthetic LPs instead of reading --src")
+    ap.add_argument("--synthetic-qp", type=int, default=0,
+                    help="generate N synthetic convex QPs (Maros-Meszaros suite role)")
     ap.add_argument("--mode", choices=["serial", "batched"], default="serial")
     ap.add_argument("--out", default="benchmark-results.txt", help="output TSV path")
     ap.add_argument("--max-iter", type=int, default=300)
@@ -148,8 +178,10 @@ def main():
         )
 
     # --- Collect instances
-    if args.synthetic:
-        named_models = [(m.name, m) for m in make_synthetic(args.synthetic)]
+    if args.synthetic or args.synthetic_qp:
+        named_models = [(m.name, m) for m in make_synthetic(args.synthetic)] if args.synthetic else []
+        if args.synthetic_qp:
+            named_models += [(m.name, m) for m in make_synthetic_qp(args.synthetic_qp)]
     else:
         if not args.src:
             ap.error("--src or --synthetic required")
