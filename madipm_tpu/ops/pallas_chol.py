@@ -49,6 +49,11 @@ _BLOCK = 128
 MAX_VMEM_N = 1280
 #: largest N for the (L, Linv) kernel (3 resident buffers)
 MAX_VMEM_N_INV = 1024
+#: largest N when an outer vmap maps instances onto the batch grid — the
+#: pipelined grid double-buffers the block windows, so the per-instance
+#: budget is tighter (measured: N=1024 x batch exceeds the 16 MB scoped
+#: VMEM limit by ~4 MB)
+MAX_VMEM_N_INV_BATCHED = 768
 
 
 class _Lead0:
@@ -181,11 +186,16 @@ def _call(kernel, S, n_out: int, interpret: bool):
     return call(S)
 
 
-def _batchable(kernel_for, n_out: int, block: int, interpret: bool):
+def _batchable(kernel_for, n_out: int, block: int, interpret: bool, fallback=None):
     """Wrap _call in jax.custom_batching.custom_vmap so a solver-level
     ``jax.vmap`` (parallel/batch.py vmaps the whole solve) lowers to the
     explicit batch grid instead of pallas_call's built-in batching rule
-    (which emits i64 index scalars under x64 — unlowerable by Mosaic)."""
+    (which emits i64 index scalars under x64 — unlowerable by Mosaic).
+
+    When the per-instance size exceeds the tighter batched VMEM budget
+    (the pipelined grid double-buffers its block windows), the rule lowers
+    through ``fallback`` (the plain-XLA recursion) instead of OOMing
+    scoped VMEM at compile time."""
 
     @jax.custom_batching.custom_vmap
     def fn(S):
@@ -193,7 +203,10 @@ def _batchable(kernel_for, n_out: int, block: int, interpret: bool):
 
     @fn.def_vmap
     def _vmap_rule(axis_size, in_batched, S):  # noqa: ANN001
-        out = tuple(_call(kernel_for(S.shape[-1]), S, n_out, interpret))
+        if fallback is not None and S.shape[-1] > MAX_VMEM_N_INV_BATCHED:
+            out = tuple(jax.vmap(fallback)(S))
+        else:
+            out = tuple(_call(kernel_for(S.shape[-1]), S, n_out, interpret))
         return out, tuple([True] * n_out)
 
     return fn
@@ -215,7 +228,12 @@ def pallas_cholesky(S: jax.Array, block: int = _BLOCK, interpret: bool = False):
     kfor = lambda n: functools.partial(_chol_kernel, nblocks=n // block, block=block)
     if S.ndim == 3:
         return _call(kfor(S.shape[-1]), S, 1, interpret)[0]
-    return _batchable(kfor, 1, block, interpret)(S)[0]
+
+    def _fb(s):
+        L, _W = chol_inv(s)
+        return (L,)
+
+    return _batchable(kfor, 1, block, interpret, fallback=_fb)(S)[0]
 
 
 def pallas_chol_inv(S: jax.Array, block: int = _BLOCK, interpret: bool = False):
@@ -231,4 +249,4 @@ def pallas_chol_inv(S: jax.Array, block: int = _BLOCK, interpret: bool = False):
     kfor = lambda n: functools.partial(_chol_inv_kernel, nblocks=n // block, block=block)
     if S.ndim == 3:
         return _call(kfor(S.shape[-1]), S, 2, interpret)
-    return _batchable(kfor, 2, block, interpret)(S)
+    return _batchable(kfor, 2, block, interpret, fallback=chol_inv)(S)

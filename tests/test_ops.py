@@ -199,3 +199,24 @@ class TestPallasCholInv:
         S = -jnp.eye(128, dtype=jnp.float32)
         L, W = pallas_chol_inv(S, interpret=True)
         assert bool(jnp.any(jnp.isnan(L)))
+
+
+def test_pallas_vmap_vmem_fallback():
+    """An outer vmap over a per-instance size beyond the batched VMEM budget
+    must lower through the XLA recursion instead of the batch grid."""
+    import numpy as np
+
+    from madipm_tpu.ops import pallas_chol
+
+    rng = np.random.default_rng(0)
+    n = pallas_chol.MAX_VMEM_N_INV_BATCHED + 128  # over the batched cap
+    assert n <= pallas_chol.MAX_VMEM_N_INV  # still valid unbatched
+    B = rng.standard_normal((2, n, 8))
+    S = jnp.asarray(B @ np.transpose(B, (0, 2, 1)) + 20.0 * np.eye(n))
+    S = S.astype(jnp.float32)
+    L, W = jax.vmap(pallas_chol.pallas_chol_inv)(S)
+    # L W = I on each instance
+    eye = jnp.eye(n, dtype=jnp.float32)
+    for i in range(2):
+        err = jnp.max(jnp.abs(L[i] @ W[i] - eye))
+        assert float(err) < 1e-2  # fp32 at n~900
