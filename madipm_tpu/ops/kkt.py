@@ -254,7 +254,15 @@ def factorize(cfg: KKTConfig, prob: DeviceQP, x, zl, zu, del_w, del_c):
 # ---------------------------------------------------------------------------
 
 
-def solve_condensed(cfg: KKTConfig, prob: DeviceQP, factors, rx, rp, pcg_budget: Optional[int] = None):
+def solve_condensed(
+    cfg: KKTConfig,
+    prob: DeviceQP,
+    factors,
+    rx,
+    rp,
+    pcg_budget: Optional[int] = None,
+    pcg_rtol=None,
+):
     """Solve [Sigma+Q, A'; A, del_c][dx; dy] = [rx; rp].
 
     NORMAL path mirrors the reference's condensation stack
@@ -292,11 +300,17 @@ def solve_condensed(cfg: KKTConfig, prob: DeviceQP, factors, rx, rp, pcg_budget:
             # Richardson refinement once cond(S) passes the fp32 ceiling.
             # Reduced-budget (predictor) solves settle for 1e-12 residuals;
             # full-budget (corrector) solves drive to the fp64 floor.
+            # ``pcg_rtol`` (a traced scalar) overrides the exit tolerance —
+            # the inexact-Newton hook: early IPM iterations tolerate step
+            # residuals proportional to mu (driver passes a mu-scaled
+            # tolerance when opt.pcg_adaptive_tol is on).
             if pcg_budget is not None:
-                dy = linalg.pcg(solve_fn, matvec, r2, max_iters=pcg_budget, rtol=1e-12)
+                rt = 1e-12 if pcg_rtol is None else pcg_rtol
+                dy = linalg.pcg(solve_fn, matvec, r2, max_iters=pcg_budget, rtol=rt)
             else:
+                rt = 1e-14 if pcg_rtol is None else pcg_rtol
                 dy = linalg.pcg(
-                    solve_fn, matvec, r2, max_iters=4 * cfg.refinement_steps
+                    solve_fn, matvec, r2, max_iters=4 * cfg.refinement_steps, rtol=rt
                 )
         else:
             dy = solve_fn(r2).astype(r2.dtype)

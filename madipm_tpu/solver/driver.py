@@ -66,6 +66,7 @@ class SolverConfig:
     regularization: object
     check_residual: bool
     tol_linear_solve: float
+    pcg_adaptive_tol: bool = False
 
 
 def make_config(opt: IPMOptions, is_qp: bool, dtype=jnp.float64) -> SolverConfig:
@@ -116,6 +117,7 @@ def make_config(opt: IPMOptions, is_qp: bool, dtype=jnp.float64) -> SolverConfig
         regularization=opt.regularization,
         check_residual=opt.check_residual,
         tol_linear_solve=opt.tol_linear_solve,
+        pcg_adaptive_tol=opt.pcg_adaptive_tol,
     )
 
 
@@ -394,13 +396,23 @@ def iteration(cfg: SolverConfig, prob: DeviceQP, state: IPMState) -> IPMState:
 
     solve = partial(kkt_ops.solve_condensed, cfg.kkt, prob, factors)
 
+    # Inexact-Newton tolerances: early iterations tolerate step residuals
+    # proportional to the complementarity (standard inexact-MPC analysis);
+    # clamped well below the reference's tol_linear_solve=1e-8 acceptance
+    # threshold (src/linear_solver.jl:28-43).  Off -> fixed tight defaults.
+    rtol_pred = rtol_corr = None
+    if cfg.pcg_adaptive_tol:
+        rtol_pred = jnp.clip(0.05 * state.mu, 1e-11, 1e-8)
+
     # Predictor (reference prediction_step!, src/solver.jl:230-237).
     # The affine direction only shapes the centering heuristics, so it gets
     # a reduced PCG budget; the corrector (the actual step) solves to full
     # accuracy.
     rhs_aff = K.predictor_rhs(prob, x, y, zl, zu)
     dx, dy = solve(
-        rhs_aff.rx, rhs_aff.rp, pcg_budget=max(2, cfg.kkt.refinement_steps // 2)
+        rhs_aff.rx, rhs_aff.rp,
+        pcg_budget=max(2, cfg.kkt.refinement_steps // 2),
+        pcg_rtol=rtol_pred,
     )
     dzl, dzu = K.recover_bound_duals(prob, x, zl, zu, rhs_aff, dx)
 
@@ -412,8 +424,10 @@ def iteration(cfg: SolverConfig, prob: DeviceQP, state: IPMState) -> IPMState:
     mu_new, mu_curr = K.mehrotra_barrier(prob, x, zl, zu, mu_aff, cfg.mu_min)
 
     # Mehrotra corrector (reference mehrotra_correction_direction!)
+    if cfg.pcg_adaptive_tol:
+        rtol_corr = jnp.clip(0.01 * mu_new, 1e-13, 1e-9)
     rhs_c = K.corrector_rhs(prob, x, y, zl, zu, mu_new, corr_l, corr_u)
-    dx, dy = solve(rhs_c.rx, rhs_c.rp)
+    dx, dy = solve(rhs_c.rx, rhs_c.rp, pcg_rtol=rtol_corr)
     dzl, dzu = K.recover_bound_duals(prob, x, zl, zu, rhs_c, dx)
 
     # Optional linear-solve residual guardrail (reference solve_system!
@@ -446,7 +460,7 @@ def iteration(cfg: SolverConfig, prob: DeviceQP, state: IPMState) -> IPMState:
                 t_ap, t_ad, beta_min, beta_max, mu_g,
             )
             rhs_g = K.corrector_rhs(prob, x, y, zl, zu, mu_g, corr_l2, corr_u2)
-            dx2, dy2 = solve(rhs_g.rx, rhs_g.rp)
+            dx2, dy2 = solve(rhs_g.rx, rhs_g.rp, pcg_rtol=rtol_corr)
             dzl2, dzu2 = K.recover_bound_duals(prob, x, zl, zu, rhs_g, dx2)
             hat_ap, hat_ad = K.fraction_to_boundary(
                 prob, x, zl, zu, dx2, dzl2, dzu2, tau_g

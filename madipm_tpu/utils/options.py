@@ -210,6 +210,13 @@ class IPMOptions:
     # Linear solve
     tol_linear_solve: float = 1e-8
     check_residual: bool = False
+    #: inexact-Newton mode: scale each PCG exit tolerance with the current
+    #: barrier parameter (predictor ~0.05*mu, corrector ~0.01*mu_new, both
+    #: clamped well inside tol_linear_solve).  Early IPM iterations then stop
+    #: the inner Krylov solve as soon as the step is accurate enough for the
+    #: outer iteration, cutting per-iteration PCG sweeps.  Off by default —
+    #: matches the reference's fixed-accuracy direct solves.
+    pcg_adaptive_tol: bool = False
     #: max fp64 iterative-refinement sweeps after each fp32 factor-solve on
     #: TPU (0 disables; load-bearing for reaching tol=1e-8 with an MXU fp32
     #: factorization).  The refinement loop exits early on convergence, so

@@ -351,6 +351,27 @@ class TestCheckResidual:
         assert s.status == mt.Status.ERROR_IN_STEP_COMPUTATION
 
 
+class TestAdaptivePCGTol:
+    def test_adaptive_tol_reaches_full_accuracy(self, rng):
+        """pcg_adaptive_tol relaxes early inner solves (rtol ~ mu) but the
+        clamp keeps late iterations tight enough for tol=1e-8; the final
+        answer must match the fixed-tolerance solve."""
+        import madipm_tpu as mt
+        from conftest import random_lp
+
+        c, A, b, lvar, uvar = random_lp(rng, n=40, m=12)
+        qp = mt.from_dense(c=c, A=A, lcon=b, ucon=b, lvar=lvar, uvar=uvar)
+        common = dict(
+            print_level=mt.PrintLevel.ERROR,
+            factor_dtype="float32",  # force the fp32-factor + PCG path on CPU
+            refinement_steps=6,
+        )
+        ref = mt.madipm(qp, **common)
+        ada = mt.madipm(qp, pcg_adaptive_tol=True, **common)
+        assert ref.success and ada.success
+        assert ada.objective == pytest.approx(ref.objective, abs=1e-7)
+
+
 class TestAcceptableLevel:
     def test_acceptable_exit_instead_of_max_iter(self, rng):
         """With an unreachable tol, the solver must settle at the acceptable
