@@ -65,6 +65,17 @@ class NormalFactors(NamedTuple):
     #                  empty rows, whose normal diagonal would be -del_c <= 0)
 
 
+class CondensedFactors(NamedTuple):
+    """K1 condensed factors (see utils.options.KKTSystem.CONDENSED)."""
+
+    L: jax.Array  # Cholesky factor of the Jacobi-scaled C (factor dtype)
+    jac: jax.Array  # Jacobi scale 1/sqrt(C_ii) (factor dtype)
+    sigma: jax.Array  # barrier diagonal (residual dtype, refinement matvec)
+    gamma: jax.Array  # 1/|del_c_eff| (residual dtype)
+    del_c: jax.Array  # effective (negative) dual regularization
+    live: jax.Array  # structurally nonempty constraint rows
+
+
 class AugmentedFactors(NamedTuple):
     Lfac: jax.Array  # LDL: unit-lower L; LU: packed LU (factor dtype)
     dfac: jax.Array  # LDL: diagonal d; LU: pivot indices
@@ -125,6 +136,38 @@ def _assemble_normal(prob: DeviceQP, sigma, del_c, factor_dtype):
     return S, dinv, live
 
 
+#: Floor on |del_c| for the CONDENSED formulation: the equality relaxation
+#: gamma = 1/|del_c| must stay finite and the SPD factor conditioned.  Plays
+#: the role of MadNLP's RelaxEquality slack relaxation for its condensed KKT.
+CONDENSED_RELAX_MIN = 1e-8
+
+
+def _assemble_condensed(prob: DeviceQP, sigma, del_c, factor_dtype):
+    """C = diag(sigma) + Q + gamma A'A with masked columns pinned to 1.
+
+    K1: eliminating dy from [Sigma+Q, A'; A, del_c I][dx;dy] = [rx;rp] via
+    ``dy = (rp - A dx)/del_c`` (del_c < 0 => gamma = -1/del_c > 0) gives the
+    SPD size-n system above.  Structurally empty rows (see _assemble_normal)
+    carry dy = 0 and are masked out of the A'A product.
+    """
+    free = prob.free_mask
+    dc_mag = jnp.maximum(jnp.abs(del_c), CONDENSED_RELAX_MIN)
+    gamma = 1.0 / dc_mag
+    A_eff = prob.dense_A * free[None, :]
+    live = prob.row_mask & (jnp.sum(A_eff * A_eff, axis=1) > 0)
+    Af = (A_eff * live[:, None]).astype(factor_dtype)
+    # One MXU matmul (n,m)@(m,n); gamma folded in afterwards so Af stays
+    # reusable at fp32 range (gamma ~ 1e8 would overflow squared entries).
+    C = jnp.dot(Af.T, Af, preferred_element_type=factor_dtype)
+    C = C * jnp.asarray(gamma, factor_dtype)
+    C = C + jnp.diag(sigma.astype(factor_dtype))
+    if prob.Q is not None:
+        C = C + (prob.Q * free[None, :] * free[:, None]).astype(factor_dtype)
+    # Pin non-free columns to identity rows/cols (sigma is 1 there but the
+    # A'A term must not touch them — Af already zeroed those columns).
+    return C, gamma, live
+
+
 def _assemble_augmented(prob: DeviceQP, sigma, del_c, factor_dtype):
     """K = [Sigma+Q, A'; A, del_c I], masked columns/rows pinned.
 
@@ -180,6 +223,22 @@ def factorize(cfg: KKTConfig, prob: DeviceQP, x, zl, zu, del_w, del_c):
                 NormalFactors(
                     L=fac, jac=jac, dinv=dinv,
                     del_c=jnp.asarray(dc, rdtype), live=live,
+                ),
+                ok,
+            )
+        elif cfg.kind == KKTSystem.CONDENSED:
+            C, gamma, live = _assemble_condensed(prob, sigma, dc, cfg.factor_dtype)
+            dC = jnp.diagonal(C)
+            jac = jax.lax.rsqrt(jnp.maximum(dC, jnp.finfo(cfg.factor_dtype).tiny))
+            Chat = C * jac[:, None] * jac[None, :]
+            fac = linalg.cholesky_factor(Chat)
+            ok = linalg.cholesky_is_ok(fac)
+            dc_eff = -jnp.maximum(jnp.abs(jnp.asarray(dc, rdtype)), CONDENSED_RELAX_MIN)
+            return (
+                CondensedFactors(
+                    L=fac, jac=jac, sigma=sigma,
+                    gamma=jnp.asarray(gamma, rdtype),
+                    del_c=dc_eff, live=live,
                 ),
                 ok,
             )
@@ -317,6 +376,41 @@ def solve_condensed(
         dy = jnp.where(live, dy, 0.0)
 
         dx = dinv * (rx - prob.rmatvec(dy))
+        return dx, dy
+    elif isinstance(factors, CondensedFactors):
+        # K1: (Sigma + Q + gamma A'A) dx = rx + gamma A' rp, then recover
+        # dy = -gamma (rp - A dx) (sign: del_c = -1/gamma < 0).
+        free = prob.free_mask
+        live = factors.live
+        gamma = factors.gamma
+        rp_l = jnp.where(live, rp, 0.0)
+        rhs = jnp.where(free, rx + gamma * prob.rmatvec(rp_l), 0.0)
+
+        jac = factors.jac
+
+        def solve_fn(b):
+            bf = (b * jac).astype(factors.L.dtype)
+            return linalg.cholesky_solve(factors.L, bf) * jac
+
+        def matvec(v):
+            vx = jnp.where(free, v, 0.0)
+            cv = factors.sigma * vx + gamma * prob.rmatvec(
+                jnp.where(live, prob.matvec(vx), 0.0)
+            )
+            if prob.Q is not None:
+                cv = cv + jnp.dot(prob.Q, vx, preferred_element_type=rx.dtype)
+            return jnp.where(free, cv, v)
+
+        if cfg.refinement_steps > 0:
+            rt = 1e-14 if pcg_rtol is None else pcg_rtol
+            iters = (
+                pcg_budget if pcg_budget is not None else 4 * cfg.refinement_steps
+            )
+            dx = linalg.pcg(solve_fn, matvec, rhs, max_iters=iters, rtol=rt)
+        else:
+            dx = solve_fn(rhs).astype(rhs.dtype)
+        dx = jnp.where(free, dx, 0.0)
+        dy = jnp.where(live, -gamma * (rp - prob.matvec(dx)), 0.0)
         return dx, dy
     else:
         n = prob.n

@@ -78,8 +78,13 @@ def make_config(opt: IPMOptions, is_qp: bool, dtype=jnp.float64) -> SolverConfig
         )
     factor_dtype = jnp.dtype(opt.factor_dtype) if opt.factor_dtype else jnp.dtype(dtype)
     # Refinement sweeps only pay off when the factor runs below the residual
-    # precision (fp32 factor + fp64 residuals); same-precision factors skip it.
-    refinement = opt.refinement_steps if factor_dtype != jnp.dtype(dtype) else 0
+    # precision (fp32 factor + fp64 residuals); same-precision factors skip
+    # it — except K1 CONDENSED, whose gamma-relaxation (cond(C) ~ 1e8) needs
+    # the PCG polish even with an fp64 factor.
+    if factor_dtype != jnp.dtype(dtype) or kind == KKTSystem.CONDENSED:
+        refinement = opt.refinement_steps
+    else:
+        refinement = 0
     use_pallas = opt.use_pallas
     if use_pallas is None:
         # Auto = off: measured end-to-end on a v5e, the fused VMEM kernel

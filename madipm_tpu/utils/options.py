@@ -108,6 +108,17 @@ class KKTSystem(enum.Enum):
       |diag|^-1/2 before the low-precision factorization (the conditioning
       role of the reference's ScaledSparseKKTSystem and its special
       positive-diagonal set_aug_diagonal_reg!, src/kernels.jl:138-149).
+    - CONDENSED: K1 — eliminate the dual block through the (relaxed)
+      equality regularization: ``(Sigma + Q + gamma A'A) dx = rx + gamma
+      A' rp`` with ``gamma = 1/|del_c|``, then ``dy = -gamma (rp - A dx)``.
+      SPD of size n — the primal-space analogue of MadNLP's
+      SparseCondensedKKTSystem (selected via IPMOptions.kkt_system,
+      src/utils.jl:71,110; exercised in test/test_gpu.jl:9-11), whose
+      RelaxEquality treatment this masked-dense gamma-relaxation replaces.
+      Supports LP and QP; its payoff is QPs — one SPD size-n Cholesky per
+      iteration instead of the size-(n+m) quasi-definite LDL' of K2.
+      |del_c| is floored at 1e-8: the relaxation IS the formulation, so it
+      cannot be arbitrarily small.
     The TPU compute path is dense-blocked either way; sparse inputs are packed
     on host (TPUs prefer big MXU matmuls over pointer chasing).
     """
@@ -115,6 +126,7 @@ class KKTSystem(enum.Enum):
     NORMAL = "normal"
     AUGMENTED = "augmented"
     SCALED_AUGMENTED = "scaled_augmented"
+    CONDENSED = "condensed"
 
 
 class LinearSolver(enum.Enum):
@@ -242,7 +254,9 @@ class IPMOptions:
     def resolved_linear_solver(self, kkt: KKTSystem) -> LinearSolver:
         if self.linear_solver is not None:
             return self.linear_solver
-        return LinearSolver.CHOLESKY if kkt == KKTSystem.NORMAL else LinearSolver.LDL
+        if kkt in (KKTSystem.NORMAL, KKTSystem.CONDENSED):
+            return LinearSolver.CHOLESKY  # both factorize an SPD matrix
+        return LinearSolver.LDL
 
 
 def load_options(**kwargs) -> IPMOptions:

@@ -220,3 +220,51 @@ def test_pallas_vmap_vmem_fallback():
     for i in range(2):
         err = jnp.max(jnp.abs(L[i] @ W[i] - eye))
         assert float(err) < 1e-2  # fp32 at n~900
+
+
+class TestCondensedKKT:
+    """K1 contract: the condensed solve satisfies the augmented system
+    [Sigma A'; A del_c][dx;dy] = [rx;rp] to the relaxation level
+    (reference analogue: MadNLPTests.test_kkt_system run against each KKT
+    formulation, test/runtests.jl:166-180)."""
+
+    def test_solve_satisfies_augmented_system(self, rng):
+        import madipm_tpu as mt
+        from madipm_tpu.models.qp import pad_to_device
+        from madipm_tpu.ops import kkt as kkt_ops
+        from madipm_tpu.ops.kkt import KKTConfig
+        from madipm_tpu.utils.options import KKTSystem, LinearSolver
+
+        n, m = 50, 20  # standard form always has m <= n (slacks are columns)
+        A = rng.standard_normal((m, n))
+        x_feas = rng.random(n) + 0.5
+        b = A @ x_feas
+        qp = mt.from_dense(
+            c=rng.random(n), A=A, lcon=b, ucon=b,
+            lvar=np.zeros(n), uvar=np.full(n, np.inf),
+        )
+        prob = pad_to_device(qp)
+        # refinement_steps > 0 turns on the PCG polish the solver always
+        # uses for this formulation: the gamma-relaxation makes cond(C) ~
+        # gamma, so the raw Cholesky backward error alone (~eps*cond) sits
+        # above 1e-8 even in fp64.
+        cfg = KKTConfig(
+            kind=KKTSystem.CONDENSED,
+            linear_solver=LinearSolver.CHOLESKY,
+            factor_dtype=jnp.float64,
+            refinement_steps=3,
+        )
+        x = jnp.asarray(np.where(np.isfinite(prob.lb), 1.0, 0.0))
+        zl = jnp.where(jnp.isfinite(prob.lb), 0.5, 0.0)
+        zu = jnp.zeros(prob.n)
+        factors, dw, dc, ok = kkt_ops.factorize(cfg, prob, x, zl, zu, 1e-8, -1e-8)
+        assert bool(ok)
+        rx = jnp.asarray(rng.standard_normal(prob.n)) * prob.free_mask
+        rp = jnp.asarray(rng.standard_normal(prob.m)) * prob.row_mask
+        dx, dy = kkt_ops.solve_condensed(cfg, prob, factors, rx, rp)
+        res = kkt_ops.solve_residual(prob, factors, rx, rp, dx, dy)
+        # K1 accuracy floor: the condensed RHS carries gamma = 1e8, so the
+        # top-block residual in unrelaxed units floors at ~eps*gamma*||rp||
+        # (~1e-7 in fp64).  The IPM converges regardless because the step
+        # error stays *relative* to the shrinking rp/rx.
+        assert float(res) < 1e-5

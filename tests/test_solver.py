@@ -211,6 +211,36 @@ class TestKKTSystems:
         assert s_aug.objective == pytest.approx(s_norm.objective, abs=1e-7)
         assert s_aug.iter == s_norm.iter  # same math, different factorization
 
+    def test_condensed_matches_normal_lp(self, rng):
+        """K1 condensed (primal-space SPD system) reaches the NORMAL-path
+        solution on an LP (reference analogue: SparseCondensedKKTSystem via
+        kkt_system, exercised in test/test_gpu.jl:9-11)."""
+        c, A, b, lvar, uvar = random_lp(rng, 30, 10, seed=23)
+        qp = mt.from_dense(c=c, A=A, lcon=b, ucon=b, lvar=lvar, uvar=uvar)
+        s_norm = _solve(qp, kkt_system=mt.KKTSystem.NORMAL)
+        s_k1 = _solve(qp, kkt_system=mt.KKTSystem.CONDENSED)
+        assert s_norm.success and s_k1.success
+        # The gamma-relaxation perturbs the equalities at the 1e-8 level, so
+        # agreement is a touch looser than the exact-formulation pairs.
+        assert s_k1.objective == pytest.approx(s_norm.objective, abs=1e-5)
+
+    def test_condensed_qp(self, rng):
+        """K1 supports QPs (unlike NORMAL): differential check vs K2."""
+        n, meq = 24, 8
+        A = rng.standard_normal((meq, n))
+        xstar = rng.random(n) + 0.5
+        b = A @ xstar
+        P = rng.standard_normal((n, n))
+        Q = P.T @ P + np.eye(n)
+        c = rng.random(n)
+        qp = mt.from_dense(c=c, A=A, lcon=b, ucon=b, lvar=np.zeros(n),
+                           uvar=np.full(n, np.inf), Q=Q)
+        ref = _solve(qp)  # auto -> AUGMENTED for QP
+        s_k1 = _solve(qp, kkt_system=mt.KKTSystem.CONDENSED)
+        assert ref.success and s_k1.success
+        assert s_k1.objective == pytest.approx(ref.objective, rel=1e-5)
+        assert np.allclose(s_k1.solution, ref.solution, atol=1e-4)
+
     def test_normal_rejects_qp(self, rng):
         n = 5
         Q = np.eye(n)
