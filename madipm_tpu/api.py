@@ -17,6 +17,7 @@ Pipeline (mirrors the reference's solve stack, SURVEY §3.1/§3.3):
 
 from __future__ import annotations
 
+import dataclasses
 import time
 from typing import Optional, Union
 
@@ -79,9 +80,34 @@ class MPCSolver:
             sparse = (not sm.is_qp) and dense_entries > 64_000_000 and density < 0.02
         if sparse:
             from .models.sparse import pad_sparse_to_device
+            from .utils.options import KKTSystem
 
+            # Resolve the KKT formulation up front: sparse QPs go through
+            # the K1 CONDENSED system (AUGMENTED would materialize the
+            # dense block matrix); sparse LPs default to NORMAL.
+            kkt = self.opt.resolved_kkt(self.slack_model.is_qp)
+            if self.slack_model.is_qp and kkt != KKTSystem.CONDENSED:
+                if self.opt.kkt_system is None:
+                    kkt = KKTSystem.CONDENSED
+                    self.opt = dataclasses.replace(
+                        self.opt, kkt_system=KKTSystem.CONDENSED
+                    )
+                else:
+                    raise ValueError(
+                        f"sparse QPs require kkt_system=CONDENSED, got {kkt}"
+                    )
+            pat = {
+                KKTSystem.NORMAL: "normal",
+                KKTSystem.CONDENSED: "condensed",
+            }.get(kkt)
+            if pat is None:
+                raise ValueError(
+                    f"the sparse path supports NORMAL and CONDENSED KKT "
+                    f"systems, got {kkt}"
+                )
             self.prob = pad_sparse_to_device(
-                self.slack_model, dtype=self.dtype, pad_multiple=pad_multiple
+                self.slack_model, dtype=self.dtype, pad_multiple=pad_multiple,
+                kkt=pat,
             )
         else:
             self.prob = pad_to_device(

@@ -394,6 +394,41 @@ class DeviceQP:
         df = dinv.astype(factor_dtype)
         return jnp.dot(Af * df[None, :], Af.T, preferred_element_type=factor_dtype)
 
+    # Quadratic-term operator interface --------------------------------
+    # (so the KKT/solver layers never touch ``Q`` directly and the
+    # ELL-sparse representation can swap in, models/sparse.py)
+    def qmatvec(self, x) -> jax.Array:
+        """Q @ x (zeros for an LP)."""
+        if self.Q is None:
+            return jnp.zeros_like(x)
+        return jnp.dot(self.Q, x, preferred_element_type=x.dtype)
+
+    def scale_quad(self, obj_scale) -> "DeviceQP":
+        """Return a copy with Q scaled by the objective scaling."""
+        if self.Q is None:
+            return self
+        return dataclasses.replace(self, Q=self.Q * obj_scale)
+
+    def live_rows(self) -> jax.Array:
+        """Rows that touch at least one free column (structurally empty
+        rows carry dy = 0; see ops/kkt._assemble_normal)."""
+        A_eff = self.A * self.free_mask[None, :]
+        return self.row_mask & (jnp.sum(A_eff * A_eff, axis=1) > 0)
+
+    def assemble_ata(self, w, factor_dtype) -> jax.Array:
+        """A' diag(w) A over free columns in the factor dtype (the K1
+        condensed assembly's matmul; weights = live-row indicator)."""
+        Af = (self.A * self.free_mask[None, :]).astype(factor_dtype)
+        Aw = Af * w.astype(factor_dtype)[:, None]
+        return jnp.dot(Aw.T, Af, preferred_element_type=factor_dtype)
+
+    def add_quad(self, C, factor_dtype) -> jax.Array:
+        """C + Q masked to free columns (no-op for an LP)."""
+        if self.Q is None:
+            return C
+        free = self.free_mask
+        return C + (self.Q * free[None, :] * free[:, None]).astype(factor_dtype)
+
 
 def pad_to_device(
     qp: QuadraticModel,

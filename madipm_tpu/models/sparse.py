@@ -27,8 +27,15 @@ chasing:
 
 The factorization of ``S`` (size m) stays dense-blocked on the MXU; this
 path targets the tall/sparse regime (n >> m, few nnz per row) typical of
-standard-form LPs.  QP (AUGMENTED/K2) keeps the dense path — mirroring the
-reference's ``NormalKKTSystem`` being LP-only (src/KKT/normalkkt.jl:40-43).
+standard-form LPs.
+
+**Sparse QPs** go through the K1 CONDENSED formulation: the same pair-list
+machinery assembles ``A' diag(w) A`` (the pattern of AᵀA is the normal
+pattern of Aᵀ) and the quadratic term ``Q`` is held in ELL for SpMV plus a
+static scatter-add into the dense condensed matrix.  The reference's
+equivalent capability is ``SparseKKTSystem``+cuDSS on sparse QPs
+(src/utils.jl:110, ext/MadIPMCUDAExt/); its ``NormalKKTSystem`` is likewise
+LP-only (src/KKT/normalkkt.jl:40-43).
 """
 
 from __future__ import annotations
@@ -85,7 +92,8 @@ class SparseDeviceQP:
     AT_val: jax.Array  # [n, Kc]
     AT_row: jax.Array  # [n, Kc] int32
 
-    # Normal-equation symbolic pattern (device copies of NormalPattern)
+    # Normal-equation symbolic pattern (device copies of NormalPattern;
+    # zero-length when only the condensed pattern was built)
     pair_a: jax.Array
     pair_b: jax.Array
     pair_col: jax.Array
@@ -93,7 +101,20 @@ class SparseDeviceQP:
     s_low: jax.Array
     s_up: jax.Array
 
-    Q: Optional[jax.Array] = None  # always None (LP-only path)
+    Q: Optional[jax.Array] = None  # never a dense matrix on this path
+
+    # ELL quadratic term (full symmetric), None for an LP
+    Q_val: Optional[jax.Array] = None  # [n, Kq]
+    Q_col: Optional[jax.Array] = None  # [n, Kq] int32
+
+    # Condensed (K1) symbolic pattern of A'A = normal pattern of A'
+    # (zero-length unless built by pad_sparse_to_device(kkt="condensed"))
+    cpair_a: Optional[jax.Array] = None
+    cpair_b: Optional[jax.Array] = None
+    cpair_col: Optional[jax.Array] = None  # constraint row r (gathers w)
+    cseg_id: Optional[jax.Array] = None
+    c_low: Optional[jax.Array] = None  # flat n_pad*n_pad destinations
+    c_up: Optional[jax.Array] = None
 
     # ------------------------------------------------------------------
     @property
@@ -106,7 +127,7 @@ class SparseDeviceQP:
 
     @property
     def is_qp(self) -> bool:
-        return False
+        return self.Q_val is not None
 
     @property
     def free_mask(self) -> jax.Array:
@@ -128,10 +149,10 @@ class SparseDeviceQP:
     @property
     def dense_A(self) -> jax.Array:
         raise NotImplementedError(
-            "the sparse path supports the NORMAL (LP) KKT system only; "
-            "use the dense representation for AUGMENTED/QP solves "
-            "(parity: the reference's NormalKKTSystem is likewise LP-only, "
-            "src/KKT/normalkkt.jl:40-43)"
+            "the sparse path supports the NORMAL (LP) and CONDENSED (K1) "
+            "KKT systems; use the dense representation for AUGMENTED/K2 "
+            "solves (those materialize the full [Sigma+Q, A'; A, del_c] "
+            "block matrix)"
         )
 
     def matvec(self, x) -> jax.Array:
@@ -180,6 +201,66 @@ class SparseDeviceQP:
         # same value, which .set tolerates.
         S = S.at[self.s_low].set(snz, mode="drop").at[self.s_up].set(snz, mode="drop")
         return S.reshape(m, m)
+
+    # Quadratic-term operator interface (sparse counterpart of DeviceQP's;
+    # consumed by the K1 CONDENSED formulation, ops/kkt.py) --------------
+    def qmatvec(self, x) -> jax.Array:
+        """Q @ x through the full-symmetric ELL (zeros for an LP)."""
+        if self.Q_val is None:
+            return jnp.zeros_like(x)
+        return jnp.sum(self.Q_val * x[self.Q_col], axis=1)
+
+    def scale_quad(self, obj_scale) -> "SparseDeviceQP":
+        if self.Q_val is None:
+            return self
+        return dataclasses.replace(self, Q_val=self.Q_val * obj_scale)
+
+    def live_rows(self) -> jax.Array:
+        free = self.free_mask
+        contrib = self.A_val * self.A_val * jnp.where(free[self.A_col], 1.0, 0.0)
+        return self.row_mask & (jnp.sum(contrib, axis=1) > 0)
+
+    def assemble_ata(self, w, factor_dtype) -> jax.Array:
+        """A' diag(w) A over free columns into a dense padded n x n.
+
+        Same gather -> multiply -> sorted segment_sum -> static scatter as
+        :meth:`assemble_normal_matrix`, over the transposed pattern (the
+        pattern of A'A is the normal pattern of A')."""
+        if self.cpair_a is None or self.cpair_a.shape[0] == 0:
+            raise NotImplementedError(
+                "this SparseDeviceQP was packed without the condensed "
+                "pattern; rebuild with pad_sparse_to_device(kkt='condensed')"
+            )
+        n = self.n
+        free = self.free_mask
+        flatAT = (
+            self.AT_val * jnp.where(free, 1.0, 0.0)[:, None]
+        ).astype(factor_dtype).reshape(-1)
+        contrib = (
+            flatAT[self.cpair_a]
+            * flatAT[self.cpair_b]
+            * w.astype(factor_dtype)[self.cpair_col]
+        )
+        nnz_c = self.c_low.shape[0]
+        cnz = jax.ops.segment_sum(
+            contrib, self.cseg_id, num_segments=nnz_c, indices_are_sorted=True
+        )
+        C = jnp.zeros((n * n,), factor_dtype)
+        C = C.at[self.c_low].set(cnz, mode="drop").at[self.c_up].set(cnz, mode="drop")
+        return C.reshape(n, n)
+
+    def add_quad(self, C, factor_dtype) -> jax.Array:
+        """C + Q masked to free columns, via one static scatter-add (padded
+        ELL slots carry value 0 at column 0 — they add zero)."""
+        if self.Q_val is None:
+            return C
+        n = self.n
+        free = self.free_mask
+        rows = jnp.arange(n, dtype=jnp.int32)[:, None]
+        dst = (rows * n + self.Q_col).reshape(-1)
+        mask = free[self.Q_col] & free[:, None]
+        vals = jnp.where(mask, self.Q_val, 0.0).astype(factor_dtype).reshape(-1)
+        return C.reshape(-1).at[dst].add(vals).reshape(n, n)
 
 
 # ---------------------------------------------------------------------------
@@ -288,19 +369,35 @@ def pad_sparse_to_device(
     n_pad: Optional[int] = None,
     ell_k: Optional[int] = None,
     ell_kt: Optional[int] = None,
+    ell_kq: Optional[int] = None,
     pattern_p: Optional[int] = None,
     pattern_nnzs: Optional[int] = None,
+    cpattern_p: Optional[int] = None,
+    cpattern_nnzs: Optional[int] = None,
+    kkt: Optional[str] = None,
 ) -> SparseDeviceQP:
-    """Pack a host equality-form LP into a padded ELL SparseDeviceQP
+    """Pack a host equality-form LP/QP into a padded ELL SparseDeviceQP
     (sparse counterpart of :func:`madipm_tpu.models.qp.pad_to_device`).
 
-    The optional size overrides (``ell_k``/``ell_kt`` lane widths,
-    ``pattern_p``/``pattern_nnzs`` pair/destination counts) let a batch of
-    different sparsity patterns share one padded shape for vmapping
-    (parallel/batch.bucket_pad_sparse); padded pattern slots are marked
-    with out-of-range indices that the device assembly drops."""
-    if qp.Q is not None:
-        raise ValueError("sparse device path is LP-only (Q must be None)")
+    ``kkt`` selects which symbolic pattern(s) to precompute: ``"normal"``
+    (S = A D A', LP only), ``"condensed"`` (C = A' w A, the K1/QP path) or
+    ``"both"``; default: condensed when Q is present, normal otherwise.
+
+    The optional size overrides (``ell_k``/``ell_kt``/``ell_kq`` lane
+    widths, ``pattern_p``/``pattern_nnzs``/``cpattern_*`` pair/destination
+    counts) let a batch of different sparsity patterns share one padded
+    shape for vmapping (parallel/batch.bucket_pad_sparse); padded pattern
+    slots are marked with out-of-range indices that the device assembly
+    drops."""
+    if kkt is None:
+        kkt = "condensed" if qp.Q is not None else "normal"
+    if kkt not in ("normal", "condensed", "both"):
+        raise ValueError(f"kkt must be 'normal', 'condensed' or 'both', got {kkt!r}")
+    if qp.Q is not None and kkt == "normal":
+        raise ValueError(
+            "the NORMAL pattern is LP-only; pack sparse QPs with "
+            "kkt='condensed' (K1)"
+        )
     if np.any(qp.lcon != qp.ucon):
         raise ValueError(
             "pad_sparse_to_device requires equality-only constraints; run slack_form first"
@@ -319,25 +416,26 @@ def pad_sparse_to_device(
     val, idx, ell_pos = _to_ell(A, mp, np_, k_width=ell_k)
     AT = A.T.tocsr()
     AT.sort_indices()
-    tval, tidx, _ = _to_ell(AT, np_, mp, k_width=ell_kt)
+    tval, tidx, t_ell_pos = _to_ell(AT, np_, mp, k_width=ell_kt)
 
     # Symbolic analysis: C++ builder when available (native/mps_native.cpp,
     # the reference's build_normal_system role), Python fallback otherwise.
     from . import native as _native
 
-    if _native.available():
-        pa, pb, pc, sid, slo, sup = _native.native_normal_pattern(
-            A.indptr, A.indices, m, n, val.shape[1], mp
-        )
-        pattern = NormalPattern(pa, pb, pc, sid, slo, sup)
-    else:
-        pattern = build_normal_pattern(A, ell_pos, mp)
+    def _pattern_for(mat, pos, rows, cols, width, row_pad):
+        if _native.available():
+            pa, pb, pc, sid, slo, sup = _native.native_normal_pattern(
+                mat.indptr, mat.indices, rows, cols, width, row_pad
+            )
+            return NormalPattern(pa, pb, pc, sid, slo, sup)
+        return build_normal_pattern(mat, pos, row_pad)
 
-    if pattern_p is not None or pattern_nnzs is not None:
-        P0 = pattern.pair_a.size
-        S0 = pattern.s_low.size
-        Pp = pattern_p if pattern_p is not None else P0
-        Sp = pattern_nnzs if pattern_nnzs is not None else S0
+    def _pad_pattern(pattern, p_size, s_size, dst_oob):
+        if p_size is None and s_size is None:
+            return pattern
+        P0, S0 = pattern.pair_a.size, pattern.s_low.size
+        Pp = p_size if p_size is not None else P0
+        Sp = s_size if s_size is not None else S0
         if Pp < P0 or Sp < S0:
             raise ValueError("pattern pad sizes smaller than actual pattern")
 
@@ -346,16 +444,40 @@ def pad_sparse_to_device(
             out[: a.size] = a
             return out
 
-        pattern = NormalPattern(
+        return NormalPattern(
             pair_a=padi(pattern.pair_a, Pp, 0),
             pair_b=padi(pattern.pair_b, Pp, 0),
             pair_col=padi(pattern.pair_col, Pp, 0),
             # out-of-range segment -> dropped by segment_sum
             seg_id=padi(pattern.seg_id, Pp, Sp),
             # out-of-bounds destination -> dropped by mode="drop"
-            s_low=padi(pattern.s_low, Sp, mp * mp),
-            s_up=padi(pattern.s_up, Sp, mp * mp),
+            s_low=padi(pattern.s_low, Sp, dst_oob),
+            s_up=padi(pattern.s_up, Sp, dst_oob),
         )
+
+    _z = np.zeros(0, dtype=np.int32)
+    empty = NormalPattern(_z, _z, _z, _z, _z, _z)
+
+    pattern = empty
+    if kkt in ("normal", "both"):
+        pattern = _pattern_for(A, ell_pos, m, n, val.shape[1], mp)
+        pattern = _pad_pattern(pattern, pattern_p, pattern_nnzs, mp * mp)
+
+    cpattern = empty
+    if kkt in ("condensed", "both"):
+        # Pattern of A'A = normal pattern of A' (pair positions index the
+        # flat AT ELL; pair_col = constraint row, gathering the live weight).
+        cpattern = _pattern_for(AT, t_ell_pos, n, m, tval.shape[1], np_)
+        cpattern = _pad_pattern(cpattern, cpattern_p, cpattern_nnzs, np_ * np_)
+
+    # Quadratic term: full-symmetric ELL (qmatvec + condensed scatter-add).
+    qval = qidx = None
+    if qp.Q is not None:
+        Qs = qp.Q.tocsr()
+        Qs.sort_indices()
+        Qs.sum_duplicates()
+        Qs.eliminate_zeros()
+        qval, qidx, _ = _to_ell(Qs, np_, np_, k_width=ell_kq)
 
     def vecpad(v, size, fill=0.0):
         out = np.full(size, fill, dtype=np.float64)
@@ -390,4 +512,12 @@ def pad_sparse_to_device(
         s_low=jnp.asarray(pattern.s_low),
         s_up=jnp.asarray(pattern.s_up),
         Q=None,
+        Q_val=None if qval is None else jnp.asarray(qval, dtype=dtype),
+        Q_col=None if qidx is None else jnp.asarray(qidx),
+        cpair_a=jnp.asarray(cpattern.pair_a),
+        cpair_b=jnp.asarray(cpattern.pair_b),
+        cpair_col=jnp.asarray(cpattern.pair_col),
+        cseg_id=jnp.asarray(cpattern.seg_id),
+        c_low=jnp.asarray(cpattern.s_low),
+        c_up=jnp.asarray(cpattern.s_up),
     )

@@ -150,21 +150,19 @@ def _assemble_condensed(prob: DeviceQP, sigma, del_c, factor_dtype):
     SPD size-n system above.  Structurally empty rows (see _assemble_normal)
     carry dy = 0 and are masked out of the A'A product.
     """
-    free = prob.free_mask
     dc_mag = jnp.maximum(jnp.abs(del_c), CONDENSED_RELAX_MIN)
     gamma = 1.0 / dc_mag
-    A_eff = prob.dense_A * free[None, :]
-    live = prob.row_mask & (jnp.sum(A_eff * A_eff, axis=1) > 0)
-    Af = (A_eff * live[:, None]).astype(factor_dtype)
-    # One MXU matmul (n,m)@(m,n); gamma folded in afterwards so Af stays
-    # reusable at fp32 range (gamma ~ 1e8 would overflow squared entries).
-    C = jnp.dot(Af.T, Af, preferred_element_type=factor_dtype)
+    live = prob.live_rows()
+    # A' diag(live) A via the problem's operator (dense: one MXU matmul;
+    # sparse: pattern segment-sum, models/sparse.py); gamma folded in
+    # afterwards so the squared entries stay at fp32 range (gamma ~ 1e8
+    # would overflow them).
+    C = prob.assemble_ata(live.astype(prob.dtype), factor_dtype)
     C = C * jnp.asarray(gamma, factor_dtype)
     C = C + jnp.diag(sigma.astype(factor_dtype))
-    if prob.Q is not None:
-        C = C + (prob.Q * free[None, :] * free[:, None]).astype(factor_dtype)
-    # Pin non-free columns to identity rows/cols (sigma is 1 there but the
-    # A'A term must not touch them — Af already zeroed those columns).
+    C = prob.add_quad(C, factor_dtype)
+    # Pin non-free columns to identity rows/cols (sigma is 1 there and the
+    # A'A / Q terms never touch them — both are free-masked).
     return C, gamma, live
 
 
@@ -177,9 +175,7 @@ def _assemble_augmented(prob: DeviceQP, sigma, del_c, factor_dtype):
     free = prob.free_mask
     A_eff = (prob.dense_A * free[None, :]).astype(factor_dtype)
     H = jnp.diag(sigma.astype(factor_dtype))
-    if prob.Q is not None:
-        Qm = (prob.Q * free[None, :] * free[:, None]).astype(factor_dtype)
-        H = H + Qm
+    H = prob.add_quad(H, factor_dtype)
     live = prob.row_mask & (jnp.sum(A_eff * A_eff, axis=1) > 0)
     du = jnp.where(live, jnp.asarray(del_c, factor_dtype), 1.0)
     # live rows keep del_c (may be 0: the augmented matrix stays
@@ -397,8 +393,8 @@ def solve_condensed(
             cv = factors.sigma * vx + gamma * prob.rmatvec(
                 jnp.where(live, prob.matvec(vx), 0.0)
             )
-            if prob.Q is not None:
-                cv = cv + jnp.dot(prob.Q, vx, preferred_element_type=rx.dtype)
+            if prob.is_qp:
+                cv = cv + prob.qmatvec(vx)
             return jnp.where(free, cv, v)
 
         if cfg.refinement_steps > 0:
@@ -441,10 +437,8 @@ def solve_condensed(
             # Exact fp64 augmented operator from the original pieces.
             vx, vy = v[:n], v[n:]
             hx = factors.sigma * vx
-            if prob.Q is not None:
-                hx = hx + jnp.dot(
-                    prob.Q, jnp.where(free, vx, 0.0), preferred_element_type=rx.dtype
-                )
+            if prob.is_qp:
+                hx = hx + prob.qmatvec(jnp.where(free, vx, 0.0))
             ax = prob.matvec(jnp.where(free, vx, 0.0))
             aty = prob.rmatvec(jnp.where(live, vy, 0.0))
             top = jnp.where(free, hx + aty, vx)
@@ -483,7 +477,7 @@ def solve_residual(prob: DeviceQP, factors, rx, rp, dx, dy):
     if isinstance(factors, NormalFactors):
         sigma = jnp.where(free, 1.0 / jnp.where(factors.dinv == 0, 1.0, factors.dinv), 1.0)
         hx = jnp.where(factors.dinv == 0, 0.0, sigma * dx)
-        qx = 0.0 if prob.Q is None else jnp.dot(prob.Q, jnp.where(free, dx, 0.0), preferred_element_type=dt)
+        qx = prob.qmatvec(jnp.where(free, dx, 0.0)) if prob.is_qp else 0.0
         top = jnp.where(free, hx + qx + prob.rmatvec(dy) - rx, 0.0)
         bot = jnp.where(
             factors.live,
@@ -492,8 +486,8 @@ def solve_residual(prob: DeviceQP, factors, rx, rp, dx, dy):
         )
     else:
         hx = factors.sigma * dx
-        if prob.Q is not None:
-            hx = hx + jnp.dot(prob.Q, jnp.where(free, dx, 0.0), preferred_element_type=dt)
+        if prob.is_qp:
+            hx = hx + prob.qmatvec(jnp.where(free, dx, 0.0))
         top = jnp.where(free, hx + prob.rmatvec(jnp.where(factors.live, dy, 0.0)) - rx, 0.0)
         bot = jnp.where(
             factors.live,

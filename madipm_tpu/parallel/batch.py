@@ -35,7 +35,7 @@ from ..utils.status import Status
 
 def stack_problems(probs: Sequence[DeviceQP]) -> DeviceQP:
     """Stack same-shape DeviceQPs along a new leading batch axis."""
-    shapes = {(p.m, p.n, p.Q is not None) for p in probs}
+    shapes = {(p.m, p.n, p.is_qp) for p in probs}
     if len(shapes) != 1:
         raise ValueError(f"all problems must share a padded shape, got {shapes}")
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *probs)
@@ -160,7 +160,7 @@ def madipm_batch(
         probs, slacked = bucket_pad_sparse(models, pad_multiple=pad_multiple, dtype=dtype)
     else:
         probs, slacked = bucket_pad(models, pad_multiple=pad_multiple, dtype=dtype)
-    is_qp = probs.Q is not None
+    is_qp = probs.is_qp
     cfg = driver.make_config(opt, is_qp=is_qp, dtype=dtype)
     t0 = _time.time()
     _, scale, state = solve_batched(cfg, probs, mesh=mesh)

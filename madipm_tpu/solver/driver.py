@@ -154,11 +154,10 @@ def _apply_scaling(cfg: SolverConfig, prob: DeviceQP, x_init):
         con_scale = jnp.ones_like(prob.b)
         obj_scale = one
     prob_s = dataclasses.replace(
-        prob.scale_rows(con_scale),
+        prob.scale_rows(con_scale).scale_quad(obj_scale),
         b=prob.b * con_scale,
         c=prob.c * obj_scale,
         c0=prob.c0 * obj_scale,
-        Q=None if prob.Q is None else prob.Q * obj_scale,
     )
     return prob_s, ScaleInfo(obj_scale, con_scale)
 

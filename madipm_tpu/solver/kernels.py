@@ -60,15 +60,15 @@ def slacks(prob: DeviceQP, x):
 
 def eval_obj(prob: DeviceQP, x):
     v = prob.c0 + jnp.dot(prob.c, x, preferred_element_type=x.dtype)
-    if prob.Q is not None:
-        v = v + 0.5 * jnp.dot(x, jnp.dot(prob.Q, x, preferred_element_type=x.dtype))
+    if prob.is_qp:
+        v = v + 0.5 * jnp.dot(x, prob.qmatvec(x), preferred_element_type=x.dtype)
     return v
 
 
 def eval_grad(prob: DeviceQP, x):
     g = prob.c
-    if prob.Q is not None:
-        g = g + jnp.dot(prob.Q, x, preferred_element_type=x.dtype)
+    if prob.is_qp:
+        g = g + prob.qmatvec(x)
     return g
 
 

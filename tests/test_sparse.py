@@ -115,13 +115,15 @@ class TestSparseSolve:
         assert st.success and ref.success
         assert st.objective == pytest.approx(ref.objective, rel=1e-6)
 
-    def test_sparse_rejects_qp(self, rng):
+    def test_sparse_qp_auto_condensed(self, rng):
+        # sparse QPs auto-route through the K1 CONDENSED system
         qp = mt.from_dense(
             c=[0.0, 0.0], A=[[1.0, 1.0]], lcon=[1.0], ucon=[1.0],
             lvar=[-1.0, -1.0], uvar=[2.0, 2.0], Q=[[2.0, 0.0], [0.0, 2.0]],
         )
-        with pytest.raises(ValueError):
-            mt.madipm(qp, sparse=True, **OPTS)
+        st = mt.madipm(qp, sparse=True, **OPTS)
+        assert st.success
+        assert np.allclose(st.solution, [0.5, 0.5], atol=1e-6)
 
     def test_large_n_smoke(self, rng):
         # tall sparse LP: n >> m, the regime the sparse path exists for
@@ -214,3 +216,104 @@ class TestBatchedSparse:
         mesh = make_mesh(len(jax.devices()))
         batched = madipm_batch(models, mesh=mesh, sparse=True, **OPTS)
         assert all(b.success for b in batched)
+
+
+def make_sparse_qp(rng, n, m, density=0.05, q_density=0.02):
+    """Random convex sparse QP: SPD Q = B'B + I with sparse B, equality rows."""
+    A = sp.random(m, n, density=density, random_state=rng, format="csr")
+    A = A + sp.diags(np.ones(m), 0, shape=(m, n), format="csr")
+    B = sp.random(n, n, density=q_density, random_state=rng, format="csr")
+    Q = (B.T @ B + sp.eye(n)).tocsr()
+    xstar = rng.random(n) + 0.5
+    b = A @ xstar
+    c = rng.standard_normal(n)
+    return mt.QuadraticModel(
+        c=c, A=A, lcon=b, ucon=b, lvar=np.zeros(n), uvar=np.full(n, np.inf), Q=Q
+    )
+
+
+class TestSparseQP:
+    """Sparse QPs through the K1 CONDENSED system (the reference's sparse-QP
+    capability is SparseKKTSystem+cuDSS, src/utils.jl:110; here the same
+    pair-list assembly builds A'A and Q scatters into the condensed matrix)."""
+
+    def test_qp_differential_vs_dense(self):
+        rng = np.random.default_rng(11)
+        qp = make_sparse_qp(rng, n=180, m=60)
+        s_dense = mt.madipm(qp, sparse=False, **OPTS)
+        s_sparse = mt.madipm(qp, sparse=True, **OPTS)
+        assert s_dense.success and s_sparse.success
+        assert s_sparse.objective == pytest.approx(s_dense.objective, rel=1e-6)
+        assert np.allclose(s_sparse.solution, s_dense.solution, atol=1e-5)
+        # identical iteration path (same formulation would differ only by
+        # assembly rounding)
+        assert abs(s_sparse.iter - s_dense.iter) <= 2
+
+    def test_qp_bounded_and_ranged(self):
+        rng = np.random.default_rng(12)
+        n, m = 120, 40
+        A = sp.random(m, n, density=0.06, random_state=rng, format="csr")
+        A = A + sp.diags(np.ones(m), 0, shape=(m, n), format="csr")
+        B = sp.random(n, n, density=0.02, random_state=rng, format="csr")
+        Q = (B.T @ B + sp.eye(n)).tocsr()
+        xstar = rng.random(n) + 0.5
+        uvar = np.full(n, np.inf)
+        uvar[::3] = xstar[::3] + 0.25  # finite upper bounds, feasible at xstar
+        qp = mt.QuadraticModel(
+            c=rng.standard_normal(n), A=A, lcon=A @ xstar, ucon=A @ xstar,
+            lvar=np.zeros(n), uvar=uvar, Q=Q,
+        )
+        s_dense = mt.madipm(qp, sparse=False, **OPTS)
+        s_sparse = mt.madipm(qp, sparse=True, **OPTS)
+        assert s_dense.success and s_sparse.success
+        assert s_sparse.objective == pytest.approx(s_dense.objective, rel=1e-6)
+
+    def test_condensed_assembly_matches_dense(self):
+        """C = Sigma + Q + gamma A'A: sparse pattern assembly == dense matmul."""
+        from madipm_tpu.models.qp import pad_to_device
+        from madipm_tpu.ops.kkt import _assemble_condensed
+
+        rng = np.random.default_rng(13)
+        qp = make_sparse_qp(rng, n=96, m=32)
+        sm = slack_form(qp)
+        pd = pad_to_device(sm)
+        ps = pad_sparse_to_device(sm, kkt="condensed")
+        sigma = jnp.asarray(1.0 + np.random.default_rng(1).random(pd.n))
+        Cd, gd, lived = _assemble_condensed(pd, sigma, -1e-8, jnp.float64)
+        Cs, gs, lives = _assemble_condensed(ps, sigma, -1e-8, jnp.float64)
+        assert np.allclose(np.asarray(lived), np.asarray(lives))
+        assert float(gd) == pytest.approx(float(gs))
+        assert np.allclose(np.asarray(Cd), np.asarray(Cs), atol=1e-9 * max(1.0, float(jnp.max(jnp.abs(Cd)))))
+
+    def test_qmatvec_matches_scipy(self):
+        rng = np.random.default_rng(14)
+        qp = make_sparse_qp(rng, n=150, m=50)
+        sm = slack_form(qp)
+        ps = pad_sparse_to_device(sm, kkt="condensed")
+        x = np.zeros(ps.n)
+        x[: sm.nvar] = rng.standard_normal(sm.nvar)
+        got = np.asarray(ps.qmatvec(jnp.asarray(x)))[: sm.nvar]
+        want = sm.Q @ x[: sm.nvar]
+        assert np.allclose(got, want, atol=1e-12)
+
+    def test_sparse_lp_condensed(self):
+        """LPs also run sparse through K1 when requested."""
+        rng = np.random.default_rng(15)
+        lp = make_sparse_lp(rng, n=200, m=60)
+        s_norm = mt.madipm(lp, sparse=True, **OPTS)
+        s_k1 = mt.madipm(lp, sparse=True, kkt_system=mt.KKTSystem.CONDENSED, **OPTS)
+        assert s_norm.success and s_k1.success
+        assert s_k1.objective == pytest.approx(s_norm.objective, abs=1e-5)
+
+    def test_sparse_qp_rejects_augmented(self):
+        rng = np.random.default_rng(16)
+        qp = make_sparse_qp(rng, n=60, m=20)
+        with pytest.raises(ValueError, match="CONDENSED"):
+            mt.MPCSolver(qp, sparse=True, kkt_system=mt.KKTSystem.AUGMENTED)
+
+    def test_missing_condensed_pattern_raises(self):
+        rng = np.random.default_rng(17)
+        lp = make_sparse_lp(rng, n=80, m=24)
+        ps = pad_sparse_to_device(slack_form(lp), kkt="normal")
+        with pytest.raises(NotImplementedError, match="condensed"):
+            ps.assemble_ata(jnp.ones(ps.m), jnp.float64)
