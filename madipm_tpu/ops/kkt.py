@@ -227,8 +227,18 @@ def factorize(cfg: KKTConfig, prob: DeviceQP, x, zl, zu, del_w, del_c):
             dC = jnp.diagonal(C)
             jac = jax.lax.rsqrt(jnp.maximum(dC, jnp.finfo(cfg.factor_dtype).tiny))
             Chat = C * jac[:, None] * jac[None, :]
-            fac = linalg.cholesky_factor(Chat)
-            ok = linalg.cholesky_is_ok(fac)
+            if cfg.linear_solver == LinearSolver.CHOLESKY_INV:
+                # Matmul-only inverse factor (solves avoid lax.linalg
+                # triangular solves — the TPU fast path, as in NORMAL).
+                if cfg.use_pallas and Chat.shape[-1] <= pallas_chol.MAX_VMEM_N_INV:
+                    Lc, W = pallas_chol.pallas_chol_inv(Chat)
+                else:
+                    Lc, W = block_chol.chol_inv(Chat)
+                ok = linalg.cholesky_is_ok(Lc) & jnp.all(jnp.isfinite(W))
+                fac = W
+            else:
+                fac = linalg.cholesky_factor(Chat)
+                ok = linalg.cholesky_is_ok(fac)
             dc_eff = -jnp.maximum(jnp.abs(jnp.asarray(dc, rdtype)), CONDENSED_RELAX_MIN)
             return (
                 CondensedFactors(
@@ -386,6 +396,8 @@ def solve_condensed(
 
         def solve_fn(b):
             bf = (b * jac).astype(factors.L.dtype)
+            if cfg.linear_solver == LinearSolver.CHOLESKY_INV:
+                return block_chol.chol_inv_solve(factors.L, bf) * jac
             return linalg.cholesky_solve(factors.L, bf) * jac
 
         def matvec(v):

@@ -53,11 +53,9 @@ def main():
     variants = {
         "base_r6": {},
         "adaptive_tol": dict(pcg_adaptive_tol=True),
-        "refine3": dict(refinement_steps=3),
-        "refine12": dict(refinement_steps=12),
         "adaptive_r12": dict(pcg_adaptive_tol=True, refinement_steps=12),
-        "gondzio2": dict(max_ncorr=2),
-        "adaptive_gondzio2": dict(pcg_adaptive_tol=True, max_ncorr=2),
+        "adaptive_r18": dict(pcg_adaptive_tol=True, refinement_steps=18),
+        "adaptive_r24": dict(pcg_adaptive_tol=True, refinement_steps=24),
     }
 
     base_objs = None

@@ -268,3 +268,31 @@ class TestCondensedKKT:
         # (~1e-7 in fp64).  The IPM converges regardless because the step
         # error stays *relative* to the shrinking rp/rx.
         assert float(res) < 1e-5
+
+
+class TestCondensedCholInv:
+    """K1 with the matmul-only inverse-factor backend (CHOLESKY_INV) — the
+    TPU fast path — agrees with the default Cholesky backend."""
+
+    def test_qp_cholinv_matches_cholesky(self, rng):
+        import madipm_tpu as mt
+
+        n, meq = 24, 8
+        A = rng.standard_normal((meq, n))
+        xstar = rng.random(n) + 0.5
+        P = rng.standard_normal((n, n))
+        qp = mt.from_dense(
+            c=rng.random(n), A=A, lcon=A @ xstar, ucon=A @ xstar,
+            lvar=np.zeros(n), uvar=np.full(n, np.inf), Q=P.T @ P + np.eye(n),
+        )
+        opts = dict(kkt_system=mt.KKTSystem.CONDENSED, print_level=mt.PrintLevel.ERROR)
+        ref = mt.madipm(qp, **opts)
+        # fp64 inverse factor: solves stay matmul-only (no lax.linalg
+        # triangular solves).  fp32 is deliberately NOT used here: K1's
+        # gamma ~ 1e8 equality relaxation exceeds fp32's dynamic range
+        # (Q/Sigma entries absorb into gamma*A'A) and the residual
+        # guardrail rejects the step — see test below.
+        inv = mt.madipm(qp, linear_solver=mt.LinearSolver.CHOLESKY_INV, **opts)
+        assert ref.success and inv.success
+        assert inv.objective == pytest.approx(ref.objective, rel=1e-7)
+        assert np.allclose(inv.solution, ref.solution, atol=1e-5)
