@@ -478,6 +478,11 @@ def pad_sparse_to_device(
         Qs.sum_duplicates()
         Qs.eliminate_zeros()
         qval, qidx, _ = _to_ell(Qs, np_, np_, k_width=ell_kq)
+    elif ell_kq is not None:
+        # Explicit zero Q: lets an LP share a batched QP bucket (all
+        # instances in a vmapped bucket must carry the same pytree shape).
+        qval = np.zeros((np_, ell_kq), dtype=np.float64)
+        qidx = np.zeros((np_, ell_kq), dtype=np.int32)
 
     def vecpad(v, size, fill=0.0):
         out = np.full(size, fill, dtype=np.float64)

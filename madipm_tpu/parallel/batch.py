@@ -53,31 +53,47 @@ def bucket_pad(models: Sequence[QuadraticModel], pad_multiple: int = 128, dtype=
 def bucket_pad_sparse(
     models: Sequence[QuadraticModel], pad_multiple: int = 128, dtype=jnp.float64
 ):
-    """Slack-form + pad a set of sparse LPs to one common ELL bucket shape.
+    """Slack-form + pad a set of sparse LPs/QPs to one common ELL bucket
+    shape.
 
     Different sparsity patterns share padded ELL lane widths and pattern
     lengths; padded slots are marked with out-of-range indices the device
-    assembly drops (models/sparse.pad_sparse_to_device padding contract)."""
+    assembly drops (models/sparse.pad_sparse_to_device padding contract).
+
+    A bucket containing any QP is packed for the K1 CONDENSED system
+    (the sparse-QP formulation); LP members carry an explicit zero Q so
+    every instance shares one pytree shape."""
     from ..models.qp import _round_up
     from ..models.sparse import pad_sparse_to_device
 
     slacked = [slack_form(m) for m in models]
+    any_qp = any(s.is_qp for s in slacked)
+    kkt = "condensed" if any_qp else "normal"
     m_pad = max(pad_multiple, *(_round_up(s.ncon, pad_multiple) for s in slacked))
     n_pad = max(pad_multiple, *(_round_up(s.nvar, pad_multiple) for s in slacked))
     # Two-pass: build each at its natural sizes, then rebuild at the maxima.
     first = [
-        pad_sparse_to_device(s, dtype=dtype, m_pad=m_pad, n_pad=n_pad) for s in slacked
+        pad_sparse_to_device(s, dtype=dtype, m_pad=m_pad, n_pad=n_pad, kkt=kkt)
+        for s in slacked
     ]
     ell_k = max(p.A_val.shape[1] for p in first)
     ell_kt = max(p.AT_val.shape[1] for p in first)
-    pattern_p = max(p.pair_a.shape[0] for p in first)
-    pattern_nnzs = max(p.s_low.shape[0] for p in first)
-    probs = [
-        pad_sparse_to_device(
-            s, dtype=dtype, m_pad=m_pad, n_pad=n_pad,
-            ell_k=ell_k, ell_kt=ell_kt,
-            pattern_p=pattern_p, pattern_nnzs=pattern_nnzs,
+    sizes = dict(ell_k=ell_k, ell_kt=ell_kt)
+    if kkt == "normal":
+        sizes.update(
+            pattern_p=max(p.pair_a.shape[0] for p in first),
+            pattern_nnzs=max(p.s_low.shape[0] for p in first),
         )
+    else:
+        sizes.update(
+            cpattern_p=max(p.cpair_a.shape[0] for p in first),
+            cpattern_nnzs=max(p.c_low.shape[0] for p in first),
+            ell_kq=max(
+                (p.Q_val.shape[1] for p in first if p.Q_val is not None), default=8
+            ),
+        )
+    probs = [
+        pad_sparse_to_device(s, dtype=dtype, m_pad=m_pad, n_pad=n_pad, kkt=kkt, **sizes)
         for s in slacked
     ]
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *probs)
@@ -149,10 +165,13 @@ def madipm_batch(
 ) -> List[IPMStats]:
     """Solve many LP/QP instances in one sharded, vmapped device program.
 
-    ``sparse=True`` uses the ELL sparse Jacobian bucket (LP only)."""
+    ``sparse=True`` uses the ELL sparse Jacobian bucket; a bucket with any
+    QP goes through the K1 CONDENSED system (models/sparse.py)."""
+    import dataclasses as _dc
     import time as _time
 
     from ..api import _ensure_x64
+    from ..utils.options import KKTSystem
 
     _ensure_x64()
     opt = load_options(**options)
@@ -161,6 +180,13 @@ def madipm_batch(
     else:
         probs, slacked = bucket_pad(models, pad_multiple=pad_multiple, dtype=dtype)
     is_qp = probs.is_qp
+    if sparse and is_qp:
+        if opt.kkt_system is None:
+            opt = _dc.replace(opt, kkt_system=KKTSystem.CONDENSED)
+        elif opt.kkt_system != KKTSystem.CONDENSED:
+            raise ValueError(
+                f"sparse QP buckets require kkt_system=CONDENSED, got {opt.kkt_system}"
+            )
     cfg = driver.make_config(opt, is_qp=is_qp, dtype=dtype)
     t0 = _time.time()
     _, scale, state = solve_batched(cfg, probs, mesh=mesh)

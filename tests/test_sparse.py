@@ -317,3 +317,34 @@ class TestSparseQP:
         ps = pad_sparse_to_device(slack_form(lp), kkt="normal")
         with pytest.raises(NotImplementedError, match="condensed"):
             ps.assemble_ata(jnp.ones(ps.m), jnp.float64)
+
+
+class TestBatchedSparseQP:
+    def test_batched_sparse_qp_matches_serial(self):
+        from madipm_tpu.parallel.batch import madipm_batch
+
+        rng = np.random.default_rng(41)
+        models = [
+            make_sparse_qp(rng, n=120 + 30 * i, m=36 + 8 * i, density=0.05)
+            for i in range(3)
+        ]
+        batched = madipm_batch(models, sparse=True, **OPTS)
+        for mdl, bs in zip(models, batched):
+            ss = mt.madipm(mdl, sparse=True, **OPTS)
+            assert bs.success and ss.success
+            assert bs.objective == pytest.approx(ss.objective, rel=1e-6)
+
+    def test_mixed_lp_qp_bucket(self):
+        """An LP in a QP bucket rides along with an explicit zero Q."""
+        from madipm_tpu.parallel.batch import madipm_batch
+
+        rng = np.random.default_rng(42)
+        models = [
+            make_sparse_qp(rng, n=100, m=30),
+            make_sparse_lp(rng, n=140, m=40),
+        ]
+        batched = madipm_batch(models, sparse=True, **OPTS)
+        for mdl, bs in zip(models, batched):
+            ss = mt.madipm(mdl, **OPTS)
+            assert bs.success and ss.success
+            assert bs.objective == pytest.approx(ss.objective, rel=1e-6)
