@@ -1,0 +1,85 @@
+"""The m=2048 measurement point with the adaptive-PCG config (BASELINE.md
+follow-up: this point previously pended a stable tunnel window).
+
+TPU: 8 instances (m=2048, n=4096, 10% dense) vmapped into one program.
+CPU baseline: HiGHS-IPM on 2 of the instances (serial HiGHS at this size
+is ~10 min/instance; iter/s extrapolates per-instance).
+"""
+
+import importlib.util
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+spec = importlib.util.spec_from_file_location(
+    "benchmod",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"),
+)
+benchmod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(benchmod)
+
+import numpy as np
+import jax
+
+
+def main():
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_default_matmul_precision", "highest")
+    backend = jax.default_backend()
+    jax.config.update("jax_compilation_cache_dir", f"/tmp/madipm_jax_cache_{backend}")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    print(f"backend: {backend}", file=sys.stderr, flush=True)
+
+    import madipm_tpu as mt
+
+    k, n, m, density = 8, 4096, 2048, 0.10
+    models = benchmod.make_suite(k=k, n=n, m=m, density=density)
+
+    opts = dict(
+        tol=1e-8,
+        max_iter=300,
+        regularization=mt.FixedRegularization(1e-8, -1e-8),
+        print_level=mt.PrintLevel.ERROR,
+        linear_solver=mt.LinearSolver.CHOLESKY_INV,
+        factor_dtype="float32",
+        refinement_steps=6,
+        pcg_adaptive_tol=True,
+    )
+
+    iters, wall, stats = benchmod.bench_tpu(models, opts)
+    solved = sum(s.success for s in stats)
+    print(
+        f"tpu: {solved}/{k} solved, {iters} iters in {wall:.3f}s "
+        f"-> {iters/wall:.2f} iter/s",
+        file=sys.stderr, flush=True,
+    )
+
+    cpu_iters, cpu_time, cpu_objs = benchmod.bench_cpu_baseline(models[:2])
+    cpu_rate = cpu_iters / max(cpu_time, 1e-9)
+    print(
+        f"cpu(highs-ipm, 2 instances): {cpu_iters} iters in {cpu_time:.1f}s "
+        f"-> {cpu_rate:.3f} iter/s",
+        file=sys.stderr, flush=True,
+    )
+
+    max_gap = 0.0
+    for s, ref_obj in zip(stats[:2], cpu_objs):
+        if s.success and np.isfinite(ref_obj):
+            max_gap = max(max_gap, abs(s.objective - ref_obj) / max(1.0, abs(ref_obj)))
+
+    out = {
+        "metric": f"ipm_iterations_per_sec_batch{k}_m{m}_n{n}_{backend}",
+        "value": round(iters / wall, 2),
+        "unit": "iter/s",
+        "vs_baseline": round((iters / wall) / cpu_rate, 2) if cpu_rate > 0 else None,
+        "solve_rate": solved / k,
+        "max_rel_obj_gap_2ref": max_gap,
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
