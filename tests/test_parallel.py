@@ -105,3 +105,60 @@ class TestSchur:
         dx_ref = np.asarray(dinv * (rx - A.T @ jnp.asarray(dy_ref)))
         assert np.allclose(np.asarray(dy), dy_ref, atol=1e-8)
         assert np.allclose(np.asarray(dx), dx_ref, atol=1e-8)
+
+
+class TestDistCholesky:
+    """Distributed blocked Cholesky (parallel/dist_chol.py): the m x m
+    factorization itself partitioned over the mesh (SURVEY §7 step 7 —
+    capability the single-device reference lacks)."""
+
+    def _mesh(self):
+        return make_mesh(8, axis_names=("cols",))
+
+    def test_factor_matches_numpy(self):
+        from madipm_tpu.parallel.dist_chol import dist_cholesky
+
+        mesh = self._mesh()
+        rng = np.random.default_rng(3)
+        m = 128  # 8 strips of 16
+        G = rng.standard_normal((m, m))
+        S = G @ G.T + m * np.eye(m)
+        L, W = dist_cholesky(mesh, jnp.asarray(S))
+        Lref = np.linalg.cholesky(S)
+        assert np.allclose(np.asarray(L), Lref, atol=1e-8 * m)
+
+    def test_solve_matches_numpy(self):
+        from madipm_tpu.parallel.dist_chol import dist_cholesky, dist_chol_solve
+
+        mesh = self._mesh()
+        rng = np.random.default_rng(4)
+        m = 128
+        G = rng.standard_normal((m, m))
+        S = G @ G.T + m * np.eye(m)
+        b = rng.standard_normal(m)
+        L, W = dist_cholesky(mesh, jnp.asarray(S))
+        x = dist_chol_solve(mesh, L, W, jnp.asarray(b))
+        assert np.allclose(np.asarray(x), np.linalg.solve(S, b), atol=1e-8)
+
+    def test_schur_with_distributed_factor(self):
+        """Column-sharded Schur assembly + distributed factor == dense."""
+        from madipm_tpu.parallel.dist_chol import schur_normal_solve_dist
+
+        mesh = self._mesh()
+        rng = np.random.default_rng(5)
+        m, n = 64, 128  # both divisible by 8
+        A = rng.standard_normal((m, n))
+        dinv = rng.random(n) + 0.5
+        rx = rng.standard_normal(n)
+        rp = rng.standard_normal(m)
+        row_mask = np.ones(m, bool)
+        del_c = -1e-8
+        dx, dy = schur_normal_solve_dist(
+            mesh, jnp.asarray(A), jnp.asarray(dinv), jnp.asarray(rx),
+            jnp.asarray(rp), jnp.asarray(row_mask), del_c,
+        )
+        Sn = A @ np.diag(dinv) @ A.T - del_c * np.eye(m)
+        dy_ref = np.linalg.solve(Sn, A @ (dinv * rx) - rp)
+        dx_ref = dinv * (rx - A.T @ dy_ref)
+        assert np.allclose(np.asarray(dy), dy_ref, atol=1e-7)
+        assert np.allclose(np.asarray(dx), dx_ref, atol=1e-7)
