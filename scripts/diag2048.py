@@ -28,7 +28,7 @@ def main():
 
     import madipm_tpu as mt
 
-    k, m, n, density = 4, 2048, 4096, 0.08
+    k, m, n, density = 8, 2048, 4096, 0.10
     models = benchmod.make_suite(k=k, n=n, m=m, density=density)
     opts = dict(
         tol=1e-8, max_iter=300,
@@ -37,7 +37,8 @@ def main():
     )
     if backend != "cpu":
         opts.update(linear_solver=mt.LinearSolver.CHOLESKY_INV,
-                    factor_dtype="float32", refinement_steps=6)
+                    factor_dtype="float32", refinement_steps=6,
+                    pcg_adaptive_tol=True)
     iters, wall, stats = benchmod.bench_tpu(models, opts)
     for i, s in enumerate(stats):
         print(json.dumps({
