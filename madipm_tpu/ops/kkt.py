@@ -304,7 +304,15 @@ def factorize(cfg: KKTConfig, prob: DeviceQP, x, zl, zu, del_w, del_c):
     def body(carry):
         trial, dw, dc, _, _ = carry
         dw = dw * 100.0
-        dc = dc * 100.0
+        if cfg.kind in (KKTSystem.NORMAL, KKTSystem.CONDENSED):
+            # SPD formulations factor S - del_c I: a non-negative del_c can
+            # never rescue a singular S (e.g. linearly dependent rows), so
+            # retries force the stabilizing sign.  First attempt honors the
+            # user's policy exactly; the reference's retry likewise exists
+            # only to strengthen regularization (src/linear_solver.jl:6-17).
+            dc = -jnp.maximum(jnp.abs(dc), 1e-12) * 100.0
+        else:
+            dc = dc * 100.0
         f, ok = attempt(dw, dc)
         return (trial + 1, dw, dc, f, ok)
 

@@ -532,9 +532,24 @@ def iteration(cfg: SolverConfig, prob: DeviceQP, state: IPMState) -> IPMState:
         & jnp.all(jnp.isfinite(zl))
         & jnp.all(jnp.isfinite(zu))
     )
+    # Graceful degradation: a failed step on an iterate that already meets
+    # the acceptable tolerance (update_termination ran on it this trip)
+    # exits SOLVED_TO_ACCEPTABLE_LEVEL on the PREVIOUS iterate instead of
+    # erroring — the fp32-factored PCG hitting its attainable floor a few
+    # bits above tol is convergence, not failure.  (The reference has no
+    # equivalent: its SolveException aborts the run regardless of how close
+    # the iterate is, src/linear_solver.jl:40-43.)
+    res_prev = jnp.maximum(jnp.maximum(state.inf_pr, state.inf_du), state.inf_compl)
+    salvage = bad & (res_prev <= cfg.acceptable_tol)
     status = jnp.where(
-        bad, int(Status.ERROR_IN_STEP_COMPUTATION), state.status
+        salvage,
+        int(Status.SOLVED_TO_ACCEPTABLE_LEVEL),
+        jnp.where(bad, int(Status.ERROR_IN_STEP_COMPUTATION), state.status),
     ).astype(jnp.int32)
+    keep = lambda new, old: jnp.where(salvage, old, new)
+    x, y = keep(x, state.x), keep(y, state.y)
+    zl, zu = keep(zl, state.zl), keep(zu, state.zu)
+    lb_new, ub_new = keep(lb_new, state.lb), keep(ub_new, state.ub)
 
     return state._replace(
         x=x, y=y, zl=zl, zu=zu, lb=lb_new, ub=ub_new,

@@ -219,3 +219,74 @@ class TestPresolve:
         red, flag, post = presolve_qp(qp)
         assert not flag
         assert post.status == mt.Status.PRESOLVE_UNBOUNDED
+
+
+class TestGenerators:
+    """Structured suite generators (models/generators.py): the Netlib /
+    MIPLIB-relaxation / Maros-Meszaros structural families the reference
+    benchmarks on (scripts/benchmarks_cpu.jl:61-70), reproduced since the
+    archives are not redistributable."""
+
+    def test_transport_solves_and_matches_highs(self):
+        from scipy.optimize import linprog
+
+        from madipm_tpu.models.generators import transportation_lp
+
+        mdl = transportation_lp(6, 9, seed=1)
+        st = mt.madipm(mdl, print_level=mt.PrintLevel.ERROR)
+        assert st.success
+        ref = linprog(mdl.c, A_eq=mdl.A.toarray(), b_eq=mdl.lcon,
+                      bounds=[(0, None)] * mdl.nvar, method="highs")
+        assert st.objective == pytest.approx(ref.fun, rel=1e-7)
+
+    def test_netflow_solves_and_matches_highs(self):
+        from scipy.optimize import linprog
+
+        from madipm_tpu.models.generators import min_cost_flow_lp
+
+        mdl = min_cost_flow_lp(40, 4, seed=2)
+        st = mt.madipm(mdl, print_level=mt.PrintLevel.ERROR)
+        assert st.success
+        ref = linprog(mdl.c, A_eq=mdl.A.toarray(), b_eq=mdl.lcon,
+                      bounds=list(zip(mdl.lvar, mdl.uvar)), method="highs")
+        assert ref.status == 0
+        assert st.objective == pytest.approx(ref.fun, rel=1e-6)
+
+    def test_staircase_solves_and_matches_highs(self):
+        from scipy.optimize import linprog
+
+        from madipm_tpu.models.generators import staircase_lp
+
+        mdl = staircase_lp(6, 6, 3, seed=3)
+        st = mt.madipm(mdl, print_level=mt.PrintLevel.ERROR)
+        assert st.success
+        bounds = [
+            (l if np.isfinite(l) else None, u if np.isfinite(u) else None)
+            for l, u in zip(mdl.lvar, mdl.uvar)
+        ]
+        ref = linprog(mdl.c, A_eq=mdl.A.toarray(), b_eq=mdl.lcon,
+                      bounds=bounds, method="highs")
+        assert ref.status == 0
+        assert st.objective == pytest.approx(ref.fun, rel=1e-6)
+
+    def test_portfolio_qp_kkt(self):
+        from madipm_tpu.models.generators import portfolio_qp
+
+        mdl = portfolio_qp(30, 6, seed=4)
+        st = mt.madipm(mdl, print_level=mt.PrintLevel.ERROR)
+        assert st.success
+        x = st.solution
+        assert np.isclose(x.sum(), 1.0, atol=1e-7)
+        assert np.all(x >= -1e-8)
+        # stationarity: c + Qx + A'y - zl + zu = 0 on the interior part
+        g = mdl.c + mdl.Q @ x + mdl.A.T @ st.multipliers
+        interior = (x > 1e-5) & (x < np.asarray(mdl.uvar) - 1e-5)
+        assert np.max(np.abs(g[interior])) < 1e-6
+
+    def test_structured_suite_batched(self):
+        from madipm_tpu.models.generators import structured_suite
+        from madipm_tpu.parallel.batch import madipm_batch
+
+        models = [m for m in structured_suite(1) if not m.is_qp][:4]
+        res = madipm_batch(models, print_level=mt.PrintLevel.ERROR)
+        assert all(s.success for s in res)

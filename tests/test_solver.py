@@ -460,3 +460,30 @@ class TestScaledAugmented:
         ref = mt.madipm(qp, print_level=mt.PrintLevel.ERROR)
         assert st.success
         assert st.objective == pytest.approx(ref.objective, rel=1e-7)
+
+
+class TestRankDeficient:
+    """Linearly dependent equality rows: the factorization retry loop must
+    rescue the singular normal matrix by pushing del_c toward the SPD-
+    stabilizing sign (the reference's retry only multiplies, so its default
+    FixedRegularization(1e-10, +1e-10) cannot recover — we can)."""
+
+    def test_dependent_rows_default_options(self):
+        # balanced transportation WITHOUT dropping the redundant row:
+        # rank(A) = ns + nd - 1
+        from madipm_tpu.models.generators import transportation_lp
+        import scipy.sparse as sp
+
+        mdl = transportation_lp(5, 7, seed=3)
+        ns, nd = 5, 7
+        # re-add the dropped demand row (sums of supplies - other demands)
+        last_demand = np.zeros(mdl.nvar)
+        last_demand[np.arange(nd - 1, mdl.nvar, nd)] = 1.0
+        A = sp.vstack([mdl.A, sp.csr_matrix(last_demand)]).tocsr()
+        bl = np.concatenate([mdl.lcon, [mdl.lcon[:ns].sum() - mdl.lcon[ns:].sum()]])
+        full = mt.QuadraticModel(c=mdl.c, A=A, lcon=bl, ucon=bl,
+                                 lvar=mdl.lvar, uvar=mdl.uvar)
+        ref = mt.madipm(mdl, print_level=mt.PrintLevel.ERROR)
+        st = mt.madipm(full, print_level=mt.PrintLevel.ERROR)  # defaults
+        assert ref.success and st.success
+        assert st.objective == pytest.approx(ref.objective, rel=1e-6)
