@@ -207,27 +207,28 @@ def refine(solve_fn, matvec_fn, rhs: jax.Array, steps: int, rtol: float = 1e-14)
     norm_rhs = jnp.max(jnp.abs(rhs))
     tol = rtol * jnp.maximum(1.0, norm_rhs)
 
-    def resid_norm(x):
-        return jnp.max(jnp.abs(rhs - matvec_fn(x)))
-
-    r0 = resid_norm(x0)
+    r0 = rhs - matvec_fn(x0)
+    rn0 = jnp.max(jnp.abs(r0))
 
     def cond(carry):
-        i, _x, rn = carry
+        i, _x, _r, rn = carry
         return (i < steps) & (rn > tol)
 
     def body(carry):
-        i, x, rn = carry
-        r = rhs - matvec_fn(x)
+        # The residual rides in the carry so each sweep costs ONE fp64
+        # matvec (correction solve reuses it; the norm reads it).
+        i, x, r, rn = carry
         x_new = x + solve_fn(r).astype(rhs.dtype)
-        rn_new = resid_norm(x_new)
+        r_new = rhs - matvec_fn(x_new)
+        rn_new = jnp.max(jnp.abs(r_new))
         # Keep the best iterate; a single non-improving sweep (rounding
         # noise near the attainable floor) doesn't end the loop.
         improved = rn_new < rn
         x = jnp.where(improved, x_new, x)
-        return (i + 1, x, jnp.minimum(rn_new, rn))
+        r = jnp.where(improved, r_new, r)
+        return (i + 1, x, r, jnp.minimum(rn_new, rn))
 
-    _, x, _ = lax.while_loop(cond, body, (0, x0, r0))
+    _, x, _, _ = lax.while_loop(cond, body, (0, x0, r0, rn0))
     return x
 
 
@@ -272,10 +273,15 @@ def pcg(solve_fn, matvec_fn, rhs: jax.Array, max_iters: int, rtol: float = 1e-14
         better = (rn < best_rn) & jnp.all(jnp.isfinite(x))
         best_x = jnp.where(better, x, best_x)
         best_rn = jnp.where(better, rn, best_rn)
-        # Restart protection: non-finite state collapses to the best iterate.
+        # Breakdown protection: a non-finite recurrence ends the loop on the
+        # best iterate seen (r=0 exits `cond`; best_x is what's returned).
+        # Done with masking, NOT a recovery matvec — a `where` with a
+        # matvec_fn(best_x) operand would evaluate that matvec every
+        # iteration (XLA has no short-circuit), doubling the dominant
+        # fp64-operator cost of the whole PCG.
         bad = ~jnp.all(jnp.isfinite(r))
         x = jnp.where(bad, best_x, x)
-        r = jnp.where(bad, rhs - matvec_fn(best_x), r)
+        r = jnp.where(bad, jnp.zeros_like(r), r)
         return (i + 1, x, r, z, p, rz_new, best_x, best_rn)
 
     init = (0, x0, r0, z0, z0, jnp.dot(r0, z0), x0, rn0)

@@ -329,13 +329,17 @@ def initialize(cfg: SolverConfig, prob: DeviceQP) -> Tuple[DeviceQP, "ScaleInfo"
 # ---------------------------------------------------------------------------
 
 
-def update_termination(cfg: SolverConfig, prob: DeviceQP, state: IPMState) -> IPMState:
+def update_termination(
+    cfg: SolverConfig, prob: DeviceQP, state: IPMState, ax=None, aty=None
+) -> IPMState:
     prob = dataclasses.replace(prob, lb=state.lb, ub=state.ub)
     x, y, zl, zu = state.x, state.y, state.zl, state.zu
     obj = K.eval_obj(prob, x)
     dobj = K.dual_objective(prob, y, zl, zu)
-    inf_pr = K.primal_infeasibility(prob, x) / jnp.maximum(1.0, state.norm_b)
-    inf_du = K.dual_infeasibility(prob, x, y, zl, zu) / jnp.maximum(1.0, state.norm_c)
+    inf_pr = K.primal_infeasibility(prob, x, ax) / jnp.maximum(1.0, state.norm_b)
+    inf_du = K.dual_infeasibility(prob, x, y, zl, zu, aty) / jnp.maximum(
+        1.0, state.norm_c
+    )
     inf_compl = K.complementarity_inf(prob, x, zl, zu) / jnp.maximum(1.0, state.norm_c)
     best = jnp.minimum(state.best_compl, inf_compl)
 
@@ -387,10 +391,22 @@ def update_termination(cfg: SolverConfig, prob: DeviceQP, state: IPMState) -> IP
 # ---------------------------------------------------------------------------
 
 
-def iteration(cfg: SolverConfig, prob: DeviceQP, state: IPMState) -> IPMState:
+def iteration(
+    cfg: SolverConfig, prob: DeviceQP, state: IPMState, ax=None, aty=None
+) -> IPMState:
     # Use the state's working bounds (post adjust_boundary nudges).
     prob = dataclasses.replace(prob, lb=state.lb, ub=state.ub)
     x, y, zl, zu = state.x, state.y, state.zl, state.zu
+
+    # A x / A' y for the CURRENT iterate, computed once and shared by the
+    # predictor and corrector rhs builds (and, via _loop_body, the
+    # termination check): fp64 A-applications are the dominant per-iteration
+    # cost on TPU (emulated fp64 runs ~24x slower than fp32), so the same
+    # product is never evaluated twice.
+    if ax is None:
+        ax = prob.matvec(x)
+    if aty is None:
+        aty = prob.rmatvec(y)
 
     # Factorize KKT system (reference factorize_system!, src/solver.jl:299-303)
     del_w, del_c, reg_p, reg_d = _update_regularization(cfg, state)
@@ -412,7 +428,7 @@ def iteration(cfg: SolverConfig, prob: DeviceQP, state: IPMState) -> IPMState:
     # The affine direction only shapes the centering heuristics, so it gets
     # a reduced PCG budget; the corrector (the actual step) solves to full
     # accuracy.
-    rhs_aff = K.predictor_rhs(prob, x, y, zl, zu)
+    rhs_aff = K.predictor_rhs(prob, x, y, zl, zu, ax, aty)
     dx, dy = solve(
         rhs_aff.rx, rhs_aff.rp,
         pcg_budget=max(2, cfg.kkt.refinement_steps // 2),
@@ -430,7 +446,7 @@ def iteration(cfg: SolverConfig, prob: DeviceQP, state: IPMState) -> IPMState:
     # Mehrotra corrector (reference mehrotra_correction_direction!)
     if cfg.pcg_adaptive_tol:
         rtol_corr = jnp.clip(0.01 * mu_new, 1e-13, 1e-9)
-    rhs_c = K.corrector_rhs(prob, x, y, zl, zu, mu_new, corr_l, corr_u)
+    rhs_c = K.corrector_rhs(prob, x, y, zl, zu, mu_new, corr_l, corr_u, ax, aty)
     dx, dy = solve(rhs_c.rx, rhs_c.rp, pcg_rtol=rtol_corr)
     dzl, dzu = K.recover_bound_duals(prob, x, zl, zu, rhs_c, dx)
 
@@ -463,7 +479,9 @@ def iteration(cfg: SolverConfig, prob: DeviceQP, state: IPMState) -> IPMState:
                 prob, x, zl, zu, dx, dzl, dzu, corr_l, corr_u,
                 t_ap, t_ad, beta_min, beta_max, mu_g,
             )
-            rhs_g = K.corrector_rhs(prob, x, y, zl, zu, mu_g, corr_l2, corr_u2)
+            rhs_g = K.corrector_rhs(
+                prob, x, y, zl, zu, mu_g, corr_l2, corr_u2, ax, aty
+            )
             dx2, dy2 = solve(rhs_g.rx, rhs_g.rp, pcg_rtol=rtol_corr)
             dzl2, dzu2 = K.recover_bound_duals(prob, x, zl, zu, rhs_g, dx2)
             hat_ap, hat_ad = K.fraction_to_boundary(
@@ -568,10 +586,14 @@ def iteration(cfg: SolverConfig, prob: DeviceQP, state: IPMState) -> IPMState:
 
 
 def _loop_body(cfg: SolverConfig, prob: DeviceQP, state: IPMState) -> IPMState:
-    state = update_termination(cfg, prob, state)
+    # One A x / A' y pair per loop trip, shared between the termination
+    # check and the iteration's rhs builds (see kernels.eval_cons_residual).
+    ax = prob.matvec(state.x)
+    aty = prob.rmatvec(state.y)
+    state = update_termination(cfg, prob, state, ax, aty)
     return lax.cond(
         state.status == int(Status.REGULAR),
-        lambda s: iteration(cfg, prob, s),
+        lambda s: iteration(cfg, prob, s, ax, aty),
         lambda s: s,
         state,
     )

@@ -72,9 +72,15 @@ def eval_grad(prob: DeviceQP, x):
     return g
 
 
-def eval_cons_residual(prob: DeviceQP, x):
-    """A x - b, zeroed on padded rows (reference solver.c after rhs shift)."""
-    r = prob.matvec(x) - prob.b
+def eval_cons_residual(prob: DeviceQP, x, ax=None):
+    """A x - b, zeroed on padded rows (reference solver.c after rhs shift).
+
+    ``ax`` optionally supplies a precomputed A x: the fp64 A-applications are
+    the dominant per-iteration cost on TPU (emulated fp64 is ~24x fp32), and
+    the termination check, predictor rhs, and corrector rhs all evaluate the
+    SAME A x / A' y pair — the driver computes it once and threads it through.
+    """
+    r = (prob.matvec(x) if ax is None else ax) - prob.b
     return jnp.where(prob.row_mask, r, 0.0)
 
 
@@ -83,9 +89,12 @@ def eval_jty(prob: DeviceQP, y):
     return prob.rmatvec(y)
 
 
-def dual_residual(prob: DeviceQP, x, y, zl, zu):
-    """grad + A'y - zl + zu on free columns (reference MadNLP.get_inf_du args)."""
-    r = eval_grad(prob, x) + eval_jty(prob, y) - zl + zu
+def dual_residual(prob: DeviceQP, x, y, zl, zu, aty=None):
+    """grad + A'y - zl + zu on free columns (reference MadNLP.get_inf_du args).
+
+    ``aty`` optionally supplies a precomputed A' y (see eval_cons_residual).
+    """
+    r = eval_grad(prob, x) + (eval_jty(prob, y) if aty is None else aty) - zl + zu
     return jnp.where(prob.free_mask, r, 0.0)
 
 
@@ -94,12 +103,12 @@ def dual_residual(prob: DeviceQP, x, y, zl, zu):
 # ---------------------------------------------------------------------------
 
 
-def primal_infeasibility(prob: DeviceQP, x):
-    return _masked_max_abs(eval_cons_residual(prob, x), prob.row_mask)
+def primal_infeasibility(prob: DeviceQP, x, ax=None):
+    return _masked_max_abs(eval_cons_residual(prob, x, ax), prob.row_mask)
 
 
-def dual_infeasibility(prob: DeviceQP, x, y, zl, zu):
-    return _masked_max_abs(dual_residual(prob, x, y, zl, zu), prob.free_mask)
+def dual_infeasibility(prob: DeviceQP, x, y, zl, zu, aty=None):
+    return _masked_max_abs(dual_residual(prob, x, y, zl, zu, aty), prob.free_mask)
 
 
 def complementarity_inf(prob: DeviceQP, x, zl, zu, mu=0.0):
@@ -154,29 +163,31 @@ class CondensedRHS(NamedTuple):
     ru: jax.Array  # [n] upper complementarity rhs (eq. 4)
 
 
-def predictor_rhs(prob: DeviceQP, x, y, zl, zu) -> CondensedRHS:
+def predictor_rhs(prob: DeviceQP, x, y, zl, zu, ax=None, aty=None) -> CondensedRHS:
     """Affine-scaling rhs (reference set_predictive_rhs!, src/kernels.jl:21-41)."""
     sl, su = slacks(prob, x)
     rl = jnp.where(prob.has_lb, -sl * zl, 0.0)
     ru = jnp.where(prob.has_ub, -su * zu, 0.0)
-    return _condense(prob, x, y, zl, zu, rl, ru)
+    return _condense(prob, x, y, zl, zu, rl, ru, ax, aty)
 
 
-def corrector_rhs(prob: DeviceQP, x, y, zl, zu, mu, corr_l, corr_u) -> CondensedRHS:
+def corrector_rhs(
+    prob: DeviceQP, x, y, zl, zu, mu, corr_l, corr_u, ax=None, aty=None
+) -> CondensedRHS:
     """Corrector rhs with centering + complementarity correction
     (reference set_correction_rhs!, src/kernels.jl:43-58)."""
     sl, su = slacks(prob, x)
     rl = jnp.where(prob.has_lb, mu - sl * zl - corr_l, 0.0)
     ru = jnp.where(prob.has_ub, mu - su * zu - corr_u, 0.0)
-    return _condense(prob, x, y, zl, zu, rl, ru)
+    return _condense(prob, x, y, zl, zu, rl, ru, ax, aty)
 
 
-def _condense(prob, x, y, zl, zu, rl, ru) -> CondensedRHS:
+def _condense(prob, x, y, zl, zu, rl, ru, ax=None, aty=None) -> CondensedRHS:
     sl, su = slacks(prob, x)
-    px = -dual_residual(prob, x, y, zl, zu)
+    px = -dual_residual(prob, x, y, zl, zu, aty)
     rx = px + jnp.where(prob.has_lb, rl / sl, 0.0) - jnp.where(prob.has_ub, ru / su, 0.0)
     rx = jnp.where(prob.free_mask, rx, 0.0)
-    rp = -eval_cons_residual(prob, x)
+    rp = -eval_cons_residual(prob, x, ax)
     return CondensedRHS(rx=rx, rp=rp, rl=rl, ru=ru)
 
 
