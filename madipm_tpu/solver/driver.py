@@ -67,6 +67,10 @@ class SolverConfig:
     check_residual: bool
     tol_linear_solve: float
     pcg_adaptive_tol: bool = False
+    #: evaluate fp64 A-matvecs via the error-free bf16 Ozaki slicing on the
+    #: MXU (ops/ozaki.py) instead of XLA's emulated fp64 — several times
+    #: faster on TPU at ~2^-44 accuracy; resolved from IPMOptions.fp64_matvec.
+    use_ozaki: bool = False
 
 
 def make_config(opt: IPMOptions, is_qp: bool, dtype=jnp.float64) -> SolverConfig:
@@ -102,7 +106,20 @@ def make_config(opt: IPMOptions, is_qp: bool, dtype=jnp.float64) -> SolverConfig
         refinement_steps=refinement,
         max_factor_trials=3,
         use_pallas=use_pallas,
+        use_flex_pcg=opt.pcg_flex,
     )
+    if opt.fp64_matvec == "auto":
+        # Ozaki pays off exactly where fp64 is emulated (TPU); native-fp64
+        # backends (CPU oracle tests) keep the exact matvec.
+        use_ozaki = jax.default_backend() == "tpu" and jnp.dtype(dtype) == jnp.float64
+    elif opt.fp64_matvec == "ozaki":
+        use_ozaki = jnp.dtype(dtype) == jnp.float64
+    elif opt.fp64_matvec == "emulated":
+        use_ozaki = False
+    else:
+        raise ValueError(
+            f"fp64_matvec must be 'auto', 'ozaki' or 'emulated', got {opt.fp64_matvec!r}"
+        )
     return SolverConfig(
         kkt=kcfg,
         tol=opt.tol,
@@ -123,6 +140,7 @@ def make_config(opt: IPMOptions, is_qp: bool, dtype=jnp.float64) -> SolverConfig
         check_residual=opt.check_residual,
         tol_linear_solve=opt.tol_linear_solve,
         pcg_adaptive_tol=opt.pcg_adaptive_tol,
+        use_ozaki=use_ozaki,
     )
 
 
@@ -238,6 +256,12 @@ def initialize(cfg: SolverConfig, prob: DeviceQP) -> Tuple[DeviceQP, "ScaleInfo"
 
     # --- Scaling (reference src/solver.jl:148-159)
     prob_s, scale = _apply_scaling(cfg, prob, x)
+
+    # --- Ozaki slicing of the (scaled) Jacobian: from here on every fp64
+    # A-matvec runs as error-free bf16 MXU passes (ops/ozaki.py).  Built
+    # once per solve, after scaling (slices snapshot A's values).
+    if cfg.use_ozaki and hasattr(prob_s, "with_ozaki"):
+        prob_s = prob_s.with_ozaki()
 
     # --- Initial regularization + gradient/norms
     del_w, del_c, reg_p, reg_d = _init_regularization(cfg, dtype)

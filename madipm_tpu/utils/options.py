@@ -246,6 +246,19 @@ class IPMOptions:
     #: large single instances.
     use_pallas: Optional[bool] = None
 
+    #: precondition the fp64 PCG with an inner fp32 CG (flexible PCG).
+    #: Off by default: measured at the bench shape the fp32 factor alone
+    #: already exits the PCG in 1-2 iterations, so the inner CG only adds
+    #: overhead (ops/kkt.KKTConfig.use_flex_pcg).
+    pcg_flex: bool = False
+
+    #: how fp64 A-matvecs are evaluated on accelerators:
+    #:   "emulated" — XLA's double-word fp64 emulation (exact baseline);
+    #:   "ozaki"    — error-free bf16 slicing on the MXU (ops/ozaki.py),
+    #:                ~2^-44 relative accuracy, several times faster on TPU;
+    #:   "auto"     — "ozaki" on TPU, "emulated" elsewhere.
+    fp64_matvec: str = "auto"
+
     def resolved_kkt(self, is_qp: bool) -> KKTSystem:
         if self.kkt_system is not None:
             return self.kkt_system

@@ -146,6 +146,91 @@ class TestRefine:
         assert bool(jnp.all(jnp.isfinite(x)))
 
 
+class TestMixedPrecisionPCG:
+    """The mixed-precision restarted solve: fp32 inner Krylov
+    (linalg.pcg_lowp) + fp64 true-residual restarts (linalg.refine)."""
+
+    def test_pcg_lowp_solves_in_fp32(self, rng):
+        S = _spd(rng, 96, cond=1e4)
+        S32 = S.astype(jnp.float32)
+        b32 = jnp.asarray(rng.standard_normal(96), jnp.float32)
+        L32 = linalg.cholesky_factor(S32)
+        solve32 = lambda r: linalg.cholesky_solve(L32, r)
+        mv32 = lambda v: S32 @ v
+        x = linalg.pcg_lowp(solve32, mv32, b32, max_iters=8)
+        assert x.dtype == jnp.float32
+        r = float(jnp.max(jnp.abs(S32 @ x - b32)))
+        assert r < 1e-4 * float(jnp.max(jnp.abs(b32)))
+
+    def test_restarted_reaches_fp64_accuracy(self, rng):
+        # fp32 inner engine + fp64 restarts must reach ~1e-12 residuals the
+        # fp32 solve alone cannot.
+        n = 128
+        S = _spd(rng, n, cond=1e6)
+        b = jnp.asarray(rng.standard_normal(n))
+        S32 = S.astype(jnp.float32)
+        L32 = linalg.cholesky_factor(S32)
+        solve32 = lambda r: linalg.cholesky_solve(L32, r)
+        mv32 = lambda v: S32 @ v
+
+        def inner(r):
+            s = jnp.max(jnp.abs(r))
+            d32 = linalg.pcg_lowp(solve32, mv32, (r / s).astype(jnp.float32), 8)
+            return s * d32.astype(jnp.float64)
+
+        x = linalg.refine(inner, lambda v: S @ v, b, steps=6, min_reduction=0.25)
+        r = float(jnp.max(jnp.abs(S @ x - b))) / float(jnp.max(jnp.abs(b)))
+        # fp32 alone floors near 1e-5; the restarts must go far below.
+        assert r < 1e-10
+
+    def test_refine_stall_exit(self, rng):
+        # A solver that makes no progress must stop consuming sweeps when
+        # min_reduction is set (each sweep = one expensive fp64 matvec):
+        # the loop counter in the carry stops advancing after the first
+        # stalled sweep.  Observable effect: the result equals the stalled
+        # iterate and stays finite.
+        S = _spd(rng, 32)
+        b = jnp.asarray(rng.standard_normal(32))
+        null_solver = lambda r: jnp.zeros_like(r)
+        x = linalg.refine(null_solver, lambda v: S @ v, b, steps=6, min_reduction=0.25)
+        assert float(jnp.max(jnp.abs(x))) == 0.0
+
+    def test_solver_mixed_path_matches_fp64(self, rng):
+        # End-to-end LP through the public API: fp32 factor + mixed restarts
+        # must reproduce the fp64 solve to 1e-8.
+        import madipm_tpu as mt
+
+        m, n = 40, 80
+        A = np.asarray(rng.standard_normal((m, n)) * (rng.random((m, n)) < 0.5))
+        for r_ in np.flatnonzero(np.abs(A).sum(1) == 0):
+            A[r_, int(rng.integers(n))] = 1.0
+        xstar = rng.random(n) + 0.5
+        b = A @ xstar
+        c = rng.random(n) + 0.1
+        mdl = mt.from_dense(
+            c=c, A=A, lcon=b, ucon=b, lvar=np.zeros(n), uvar=np.full(n, np.inf)
+        )
+        common = dict(
+            tol=1e-8,
+            regularization=mt.FixedRegularization(1e-8, -1e-8),
+            print_level=mt.PrintLevel.ERROR,
+        )
+        st64 = mt.madipm(mdl, **common)
+        st32 = mt.madipm(
+            mdl,
+            linear_solver=mt.LinearSolver.CHOLESKY_INV,
+            factor_dtype="float32",
+            refinement_steps=6,
+            pcg_adaptive_tol=True,
+            **common,
+        )
+        assert st64.success and st32.success
+        assert abs(st32.objective - st64.objective) <= 1e-7 * max(
+            1.0, abs(st64.objective)
+        )
+        assert st32.primal_feas < 1e-8 and st32.dual_feas < 1e-8
+
+
 class TestPallasCholesky:
     @pytest.mark.parametrize("n", [128, 384])
     def test_interpret_matches_dense(self, rng, n):

@@ -1,0 +1,129 @@
+"""Tests of the Ozaki error-free bf16-sliced fp64 matvec (ops/ozaki.py).
+
+The reference runs fp64 natively on its GPUs (CUSPARSE SpMV operators,
+ext/MadIPMCUDAExt/cuda_wrapper.jl:43-94); on TPU fp64 is emulated ~24x
+slower than fp32, so the solver's exact-operator applications go through
+this slicing instead.  These tests pin the EXACTNESS invariants the
+scheme relies on — they hold on any backend because every rounding step
+is explicit.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from madipm_tpu.ops import ozaki
+
+
+class TestPow2Scale:
+    def test_exact_powers_of_two(self, rng):
+        mx = jnp.asarray(2.0 ** np.arange(-60.0, 61.0))
+        s = np.asarray(ozaki._pow2_scale(mx))
+        frac = np.log2(s)
+        assert np.all(frac == np.round(frac)), "scales must be exact powers of two"
+        mxn = np.asarray(mx)
+        assert np.all(s > mxn)
+        assert np.all(s <= 2.0 * mxn * (1 + 1e-6))
+
+    def test_random_and_zero(self, rng):
+        vals = np.abs(rng.standard_normal(500)) * np.exp(rng.uniform(-30, 30, 500))
+        vals[::50] = 0.0
+        s = np.asarray(ozaki._pow2_scale(jnp.asarray(vals)))
+        nz = vals > 0
+        assert np.all(s[nz] > vals[nz])
+        assert np.all(s[~nz] == 1.0)
+        frac = np.log2(s)
+        assert np.all(frac == np.round(frac))
+
+
+class TestSliceMatrix:
+    def test_reconstruction_error_bound(self, rng):
+        m, n = 128, 256
+        A = rng.standard_normal((m, n)) * np.exp(rng.uniform(-6, 6, (m, 1)))
+        sm = ozaki.slice_matrix(jnp.asarray(A))
+        # sum of slices (in fp64) must reproduce A to 2^-8S relative to the
+        # row scale.
+        S, C, m_, ch = sm.slices.shape
+        rec = np.asarray(sm.slices, np.float64).transpose(0, 2, 1, 3).reshape(S, m_, C * ch)
+        rec = rec.sum(axis=0) * np.asarray(sm.row_scale)[:, None]
+        bound = np.asarray(sm.row_scale)[:, None] * 2.0 ** (-8 * S)
+        assert np.all(np.abs(rec[:, :n] - A) <= bound)
+
+    def test_slices_are_bf16_exact_integers_scaled(self, rng):
+        # every slice value times 2^{8(k+1)} must be an integer <= 2^8
+        # (the error-free-accumulation precondition).
+        A = rng.standard_normal((128, 128))
+        sm = ozaki.slice_matrix(jnp.asarray(A))
+        sl = np.asarray(sm.slices, np.float64)
+        for k in range(sl.shape[0]):
+            v = sl[k] * 2.0 ** (8 * (k + 1))
+            assert np.all(v == np.round(v))
+            assert np.max(np.abs(v)) <= 256
+
+
+class TestMatvec:
+    @pytest.mark.parametrize("shape", [(128, 128), (256, 512), (384, 128)])
+    def test_accuracy_vs_fp64(self, rng, shape):
+        m, n = shape
+        A = rng.standard_normal((m, n)) * np.exp(rng.uniform(-8, 8, (m, 1)))
+        x = rng.standard_normal(n) * np.exp(rng.uniform(-8, 8, n))
+        sm = ozaki.slice_matrix(jnp.asarray(A))
+        y = np.asarray(ozaki.matvec(sm, jnp.asarray(x)))
+        y_ref = A @ x
+        scale = np.max(np.abs(A), axis=1) * np.max(np.abs(x)) * n
+        assert np.max(np.abs(y - y_ref) / scale) < 2.0 ** -44
+
+    def test_exact_on_representable_data(self, rng):
+        # powers of two with small integer combinations are reproduced
+        # EXACTLY (every step error-free).
+        A = np.zeros((128, 128))
+        A[0, :] = 1.0
+        A[1, :64] = 2.0 ** np.arange(-30, 34)
+        A[2, 5] = 3.0
+        x = np.ones(128)
+        sm = ozaki.slice_matrix(jnp.asarray(A))
+        y = np.asarray(ozaki.matvec(sm, jnp.asarray(x)))
+        np.testing.assert_array_equal(y[:3], (A @ x)[:3])
+
+    def test_vmap_batches(self, rng):
+        k, m, n = 3, 128, 256
+        A = rng.standard_normal((k, m, n))
+        x = rng.standard_normal((k, n))
+        sm = jax.vmap(ozaki.slice_matrix)(jnp.asarray(A))
+        y = np.asarray(jax.vmap(ozaki.matvec)(sm, jnp.asarray(x)))
+        y_ref = np.einsum("kmn,kn->km", A, x)
+        assert np.max(np.abs(y - y_ref)) < 1e-10 * np.max(np.abs(y_ref))
+
+
+class TestSolverIntegration:
+    def test_ozaki_solve_matches_emulated(self, rng):
+        import madipm_tpu as mt
+
+        m, n = 50, 100
+        A = np.asarray(rng.standard_normal((m, n)) * (rng.random((m, n)) < 0.5))
+        for r_ in np.flatnonzero(np.abs(A).sum(1) == 0):
+            A[r_, int(rng.integers(n))] = 1.0
+        b = A @ (rng.random(n) + 0.5)
+        c = rng.random(n) + 0.1
+        mdl = mt.from_dense(
+            c=c, A=A, lcon=b, ucon=b, lvar=np.zeros(n), uvar=np.full(n, np.inf)
+        )
+        common = dict(
+            tol=1e-8,
+            regularization=mt.FixedRegularization(1e-8, -1e-8),
+            print_level=mt.PrintLevel.ERROR,
+            linear_solver=mt.LinearSolver.CHOLESKY_INV,
+            factor_dtype="float32",
+            refinement_steps=6,
+            pcg_adaptive_tol=True,
+        )
+        st_em = mt.madipm(mdl, fp64_matvec="emulated", **common)
+        st_oz = mt.madipm(mdl, fp64_matvec="ozaki", **common)
+        assert st_em.success and st_oz.success
+        assert st_oz.iter <= st_em.iter + 2  # same iteration behavior
+        assert abs(st_oz.objective - st_em.objective) <= 1e-8 * max(
+            1.0, abs(st_em.objective)
+        )
+        assert st_oz.primal_feas < 1e-8 and st_oz.dual_feas < 1e-8
