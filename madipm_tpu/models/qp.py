@@ -323,11 +323,13 @@ class DeviceQP:
     col_mask: jax.Array  # [n] bool: live variables
     x0: jax.Array  # [n]
     y0: jax.Array  # [m]
-    #: Ozaki bf16 slicings of A and A' (ops/ozaki.py) — present only when
-    #: the solver enabled MXU-evaluated fp64 matvecs; built AFTER row
-    #: scaling (driver.initialize), since they snapshot A's values.
+    #: Ozaki bf16 slicings of A, A' and Q (ops/ozaki.py) — present only
+    #: when the solver enabled MXU-evaluated fp64 matvecs; built AFTER
+    #: row/objective scaling (driver.initialize), since they snapshot the
+    #: matrix values.
     A_sl: Optional[object] = None
     At_sl: Optional[object] = None
+    Q_sl: Optional[object] = None
 
     @property
     def n(self) -> int:
@@ -403,6 +405,7 @@ class DeviceQP:
             self,
             A_sl=ozaki.slice_matrix(self.A),
             At_sl=ozaki.slice_matrix(self.A.T),
+            Q_sl=None if self.Q is None else ozaki.slice_matrix(self.Q),
         )
 
     def row_inf_norm(self) -> jax.Array:
@@ -434,16 +437,21 @@ class DeviceQP:
     # (so the KKT/solver layers never touch ``Q`` directly and the
     # ELL-sparse representation can swap in, models/sparse.py)
     def qmatvec(self, x) -> jax.Array:
-        """Q @ x (zeros for an LP)."""
+        """Q @ x (zeros for an LP; Ozaki bf16-sliced when enabled)."""
         if self.Q is None:
             return jnp.zeros_like(x)
+        if self.Q_sl is not None and x.dtype == jnp.float64:
+            from ..ops import ozaki
+
+            return ozaki.matvec(self.Q_sl, x)
         return jnp.dot(self.Q, x, preferred_element_type=x.dtype)
 
     def scale_quad(self, obj_scale) -> "DeviceQP":
-        """Return a copy with Q scaled by the objective scaling."""
+        """Return a copy with Q scaled by the objective scaling (drops any
+        Ozaki slices of Q; driver.initialize rebuilds them after scaling)."""
         if self.Q is None:
             return self
-        return dataclasses.replace(self, Q=self.Q * obj_scale)
+        return dataclasses.replace(self, Q=self.Q * obj_scale, Q_sl=None)
 
     def live_rows(self) -> jax.Array:
         """Rows that touch at least one free column (structurally empty

@@ -127,3 +127,24 @@ class TestSolverIntegration:
             1.0, abs(st_em.objective)
         )
         assert st_oz.primal_feas < 1e-8 and st_oz.dual_feas < 1e-8
+
+    def test_ozaki_qp(self, rng):
+        # convex QP: Q matvecs go through the Q slicing (AUGMENTED path).
+        import madipm_tpu as mt
+
+        m, n = 20, 40
+        A = np.asarray(rng.standard_normal((m, n)))
+        b = A @ (rng.random(n) + 0.5)
+        c = rng.standard_normal(n)
+        M = rng.standard_normal((n, n))
+        Q = M @ M.T / n + np.eye(n)
+        mdl = mt.from_dense(
+            c=c, A=A, lcon=b, ucon=b, lvar=np.zeros(n),
+            uvar=np.full(n, np.inf), Q=Q,
+        )
+        st_em = mt.madipm(mdl, fp64_matvec="emulated", print_level=mt.PrintLevel.ERROR)
+        st_oz = mt.madipm(mdl, fp64_matvec="ozaki", print_level=mt.PrintLevel.ERROR)
+        assert st_em.success and st_oz.success
+        assert abs(st_oz.objective - st_em.objective) <= 1e-7 * max(
+            1.0, abs(st_em.objective)
+        )
