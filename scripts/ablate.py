@@ -50,12 +50,15 @@ def main():
         refinement_steps=6,
     )
 
+    # Post-Ozaki question set: with exact-operator applications now 15x
+    # cheaper (ops/ozaki.py), which earlier conclusions flip?
     variants = {
-        "base_r6": {},
-        "adaptive_tol": dict(pcg_adaptive_tol=True),
-        "adaptive_r12": dict(pcg_adaptive_tol=True, refinement_steps=12),
-        "adaptive_r18": dict(pcg_adaptive_tol=True, refinement_steps=18),
-        "adaptive_r24": dict(pcg_adaptive_tol=True, refinement_steps=24),
+        "base_oz_adaptive": dict(pcg_adaptive_tol=True),  # current headline config
+        "oz_fixed_tol": {},  # does mu-adaptive tol still pay once matvecs are cheap?
+        "oz_gondzio1": dict(pcg_adaptive_tol=True, max_ncorr=1),  # corrections now cheap
+        "oz_gondzio2": dict(pcg_adaptive_tol=True, max_ncorr=2),
+        "oz_r3": dict(pcg_adaptive_tol=True, refinement_steps=3),  # slimmer PCG budget
+        "emulated_adaptive": dict(pcg_adaptive_tol=True, fp64_matvec="emulated"),  # pre-Ozaki baseline
     }
 
     base_objs = None

@@ -33,9 +33,9 @@ def main():
     import madipm_tpu as mt
 
     points = [
+        (16, 192, 384, 0.3),
         (16, 512, 1024, 0.3),
         (8, 1024, 2048, 0.15),
-        (4, 2048, 4096, 0.08),
     ]
     results = []
     for k, m, n, density in points:
@@ -51,6 +51,7 @@ def main():
             opts["linear_solver"] = mt.LinearSolver.CHOLESKY_INV
             opts["factor_dtype"] = "float32"
             opts["refinement_steps"] = 6
+            opts["pcg_adaptive_tol"] = True  # headline config (bench.py)
         try:
             iters, wall, stats = benchmod.bench_tpu(models, opts)
         except Exception as e:
