@@ -1,0 +1,175 @@
+"""Floor-free per-component timing of the IPM iteration (scan-chained).
+
+scripts/profile_iter.py times one dispatch per component, which the
+~32 ms axon-tunnel fetch floor dominates now that components cost
+single-digit milliseconds.  Here each component is chained REPS times
+inside one lax.scan program (output feeds the next trip's input), so the
+fetch cost amortizes away: reported numbers are per-application.
+
+Components at the bench shape (k=8, m=1024, n=2048, headline config):
+  - full iteration        (driver.iteration)
+  - factorize             (kkt.factorize incl. retry-loop structure)
+  - corrector solve       (kkt.solve_condensed, full budget)
+  - predictor solve       (kkt.solve_condensed, reduced budget)
+  - one Ozaki A-pair      (S v = A(dinv * (A'v)))
+"""
+
+import dataclasses
+import importlib.util
+import json
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+spec = importlib.util.spec_from_file_location(
+    "benchmod",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"),
+)
+benchmod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(benchmod)
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def sync(x):
+    return np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[0])
+
+
+def timeit(fn, *args, reps=5):
+    fn(*args)
+    sync(fn(*args))
+    walls = []
+    for _ in range(reps):
+        t0 = time.time()
+        sync(fn(*args))
+        walls.append(time.time() - t0)
+    return float(np.median(walls))
+
+
+REPS = 20
+
+
+def main():
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_default_matmul_precision", "highest")
+    backend = jax.default_backend()
+    jax.config.update("jax_compilation_cache_dir", f"/tmp/madipm_jax_cache_{backend}")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    print(f"backend: {backend}", file=sys.stderr, flush=True)
+
+    import madipm_tpu as mt
+    from madipm_tpu.parallel.batch import bucket_pad
+    from madipm_tpu.solver import driver
+    from madipm_tpu.ops import kkt as kkt_ops
+
+    k, m, n, density = 8, 1024, 2048, 0.15
+    models = benchmod.make_suite(k=k, n=n, m=m, density=density)
+    opt = mt.load_options(
+        tol=1e-8, max_iter=300,
+        regularization=mt.FixedRegularization(1e-8, -1e-8),
+        print_level=mt.PrintLevel.ERROR,
+        linear_solver=mt.LinearSolver.CHOLESKY_INV,
+        factor_dtype="float32", refinement_steps=6, pcg_adaptive_tol=True,
+    )
+    probs, _ = bucket_pad(models)
+    cfg = driver.make_config(opt, is_qp=False)
+
+    init = jax.jit(jax.vmap(partial(driver.initialize, cfg)))
+    prob_s, scale, st0 = init(probs)
+    step = jax.jit(jax.vmap(partial(driver.iteration, cfg)))
+    st = st0
+    for _ in range(5):
+        st = step(prob_s, st)
+    sync(st.x)
+
+    results = {"shape": f"k{k}_m{m}_n{n}", "backend": backend, "reps": REPS}
+
+    # --- full iteration, chained
+    @jax.jit
+    def iter_chain(p, s):
+        def body(s_, _):
+            s2 = jax.vmap(partial(driver.iteration, cfg))(p, s_)
+            return s2._replace(k=s_.k), None  # freeze k: fixed trip behavior
+
+        out, _ = jax.lax.scan(body, s, None, length=REPS)
+        return out
+
+    results["iteration_s"] = timeit(iter_chain, prob_s, st) / REPS
+
+    # --- factorize, chained (perturb del_w so trips are not CSE'd)
+    def fac1(p, s, dw):
+        pp = dataclasses.replace(p, lb=s.lb, ub=s.ub)
+        f, *_ = kkt_ops.factorize(cfg.kkt, pp, s.x, s.zl, s.zu, dw, s.del_c)
+        return f
+
+    @jax.jit
+    def fac_chain(p, s):
+        def body(dw, _):
+            f = jax.vmap(fac1, in_axes=(0, 0, 0))(p, s, dw)
+            bump = jnp.max(jnp.abs(f.L), axis=(1, 2)) * 1e-18
+            return dw * (1.0 + 0e0) + bump, None
+
+        out, _ = jax.lax.scan(body, s.del_w, None, length=REPS)
+        return out
+
+    results["factorize_s"] = timeit(fac_chain, prob_s, st) / REPS
+
+    # --- solves, chained (solution feeds the next rhs)
+    fac_v = jax.jit(jax.vmap(fac1, in_axes=(0, 0, 0)))
+    factors = fac_v(prob_s, st, st.del_w)
+    sync(factors.L)
+    rx0 = st.zl - st.zu - 0.01 * jnp.sign(st.x)
+    rp0 = jnp.zeros_like(st.y) + 0.001
+
+    def solve_chain_fn(budget):
+        @jax.jit
+        def run(p, f, rx, rp):
+            def body(c, _):
+                rx_, rp_ = c
+                dx, dy = jax.vmap(
+                    lambda pi, fi, a, b: kkt_ops.solve_condensed(
+                        cfg.kkt, pi, fi, a, b, pcg_budget=budget
+                    )
+                )(p, f, rx_, rp_)
+                nx = jnp.maximum(jnp.max(jnp.abs(dx)), 1e-30)
+                ny = jnp.maximum(jnp.max(jnp.abs(dy)), 1e-30)
+                return (rx_ + dx / nx * 1e-3, rp_ + dy / ny * 1e-3), None
+
+            out, _ = jax.lax.scan(body, (rx, rp), None, length=REPS)
+            return out
+
+        return run
+
+    results["solve_corrector_s"] = (
+        timeit(solve_chain_fn(None), prob_s, factors, rx0, rp0) / REPS
+    )
+    results["solve_predictor_s"] = (
+        timeit(solve_chain_fn(3), prob_s, factors, rx0, rp0) / REPS
+    )
+
+    # --- one exact-operator pair (ozaki if enabled in cfg)
+    @jax.jit
+    def pair_chain(p, f, v):
+        def body(vv, _):
+            def one(pi, fi, vi):
+                w = fi.dinv * pi.rmatvec(vi)
+                return pi.matvec(w)
+
+            o = jax.vmap(one)(p, f, vv)
+            return o / jnp.maximum(jnp.max(jnp.abs(o)), 1e-30), None
+
+        out, _ = jax.lax.scan(body, v, None, length=REPS)
+        return out
+
+    results["exact_pair_s"] = timeit(pair_chain, prob_s, factors, st.y) / REPS
+
+    print(json.dumps(results), flush=True)
+
+
+if __name__ == "__main__":
+    main()
