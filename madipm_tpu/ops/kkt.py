@@ -226,10 +226,12 @@ def factorize(cfg: KKTConfig, prob: DeviceQP, x, zl, zu, del_w, del_c):
             else:
                 fac = linalg.cholesky_factor(Shat)
                 ok = linalg.cholesky_is_ok(fac)
-            # Smat is only consumed by the flexible-PCG inner operator; a
-            # scalar dummy otherwise, so the retry while_loop does not
-            # carry a dead (m,m) buffer.
-            smat = Shat if cfg.use_flex_pcg else jnp.zeros((), cfg.factor_dtype)
+            # Smat is only consumed by the flexible-PCG inner operator,
+            # which only engages when the factor runs BELOW the residual
+            # precision; a scalar dummy otherwise, so the retry while_loop
+            # does not carry a dead (m,m) buffer.
+            need_smat = cfg.use_flex_pcg and jnp.dtype(cfg.factor_dtype) != rdtype
+            smat = Shat if need_smat else jnp.zeros((), cfg.factor_dtype)
             return (
                 NormalFactors(
                     L=fac, jac=jac, dinv=dinv,
@@ -255,7 +257,8 @@ def factorize(cfg: KKTConfig, prob: DeviceQP, x, zl, zu, del_w, del_c):
                 fac = linalg.cholesky_factor(Chat)
                 ok = linalg.cholesky_is_ok(fac)
             dc_eff = -jnp.maximum(jnp.abs(jnp.asarray(dc, rdtype)), CONDENSED_RELAX_MIN)
-            smat = Chat if cfg.use_flex_pcg else jnp.zeros((), cfg.factor_dtype)
+            need_smat = cfg.use_flex_pcg and jnp.dtype(cfg.factor_dtype) != rdtype
+            smat = Chat if need_smat else jnp.zeros((), cfg.factor_dtype)
             return (
                 CondensedFactors(
                     L=fac, jac=jac, sigma=sigma,
@@ -359,12 +362,11 @@ def _mixed_inner_solver(cfg: KKTConfig, factors):
     Jacobi-scaled space where ``Smat = D S D`` and its Cholesky factor live,
     solved by :func:`linalg.pcg_lowp` (fp32 matmuls only), and mapped back.
 
-    The outer fp64 loop (:func:`linalg.refine`) recomputes true residuals
-    with the exact operator; each outer sweep therefore costs ONE fp64
-    A-matvec pair while the Krylov work runs at fp32 MXU rate.  This is the
-    standard restarted/mixed-precision Krylov construction (inner solves in
-    low precision, reliable fp64 residual updates), replacing the all-fp64
-    PCG that paid an emulated-fp64 pair per Krylov iteration.
+    The outer fp64 loop (:func:`linalg.pcg_flex`) keeps the Krylov
+    iteration on the EXACT operator — one fp64 A-matvec pair per outer
+    iteration plus the initial residual — while this inner solve does its
+    Krylov work at fp32 MXU rate.  Standard flexible-PCG construction
+    (variable preconditioner, Polak–Ribière beta).
     """
     L, jac, Smat = factors.L, factors.jac, factors.Smat
     fdt = L.dtype

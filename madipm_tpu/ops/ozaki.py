@@ -20,13 +20,15 @@ the int8 tensor-core variant is known as ozIMMU) adapted to the TPU:
    rounding is confined to the final cross-chunk/cross-pair reduction,
    performed in fp64 on values that are themselves exact.
 4. Slice pairs with ``k + l >= S`` contribute below 2^{-8S} relative to
-   ``e_i * f`` and are skipped (they are computed by the einsum but
-   weighted out at build time by zeroing — see ``_PAIR_MASK`` note).
+   ``e_i * f`` — beneath the slicing truncation itself — and are skipped:
+   :func:`matvec` covers the needed triangle with three rectangular
+   all-pairs blocks (34 passes at S = 7 instead of 49).
 
-With ``S = 6`` the result carries ~2^-48 relative accuracy (vs 2^-52
-native fp64) at the cost of S^2 = 36 bf16 MXU passes ~= 6 fp32-highest
-passes — measured ~7x cheaper than the emulated-fp64 matvec at the
-bench shape, with the matrix slices precomputed once per problem.
+With ``S = 7`` (the default) the result carries ~2^-44 relative accuracy
+(vs ~2^-42 for a native-fp64 matvec's n-term accumulation) at the cost
+of 34 bf16 MXU passes — measured 15.1x cheaper than the emulated-fp64
+matvec at the bench shape (scripts/microbench_ozaki.py), with the matrix
+slices precomputed once per solve.
 
 The reference has no analogue: its GPUs execute fp64 natively
 (ext/MadIPMCUDAExt/cuda_wrapper.jl SpMV operators).  This is the
@@ -95,6 +97,25 @@ def _pow2_scale(mx):
     return jnp.where(mx > 0, p32.astype(jnp.float64), 1.0)
 
 
+def _fixed_point_slices(v, n_slices: int):
+    """Decompose ``v`` (in [-1, 1]) into T_BITS-wide bf16 slices.
+
+    The ONE slicing loop shared by matrix and vector operands — both must
+    sit on the same fixed-point grid for products to accumulate exactly.
+    Each slice is an integer in [-2^T_BITS, 2^T_BITS] (exact in bf16's
+    8-bit significand) times a power-of-two significance folded into the
+    stored value (power-of-two scaling is exact in bf16 too).
+    """
+    sl = []
+    scale = 1.0
+    for _ in range(n_slices):
+        w = jnp.round(v * (2.0 ** T_BITS))
+        v = v * (2.0 ** T_BITS) - w
+        scale = scale / (2.0 ** T_BITS)
+        sl.append((w * scale).astype(jnp.bfloat16))
+    return jnp.stack(sl)
+
+
 def slice_matrix(A, n_slices: int = N_SLICES) -> SlicedMatrix:
     """Decompose fp64 ``A`` (m, n) into exact bf16 fixed-point slices.
 
@@ -108,43 +129,46 @@ def slice_matrix(A, n_slices: int = N_SLICES) -> SlicedMatrix:
     if npad != n:
         A = jnp.pad(A, ((0, 0), (0, npad - n)))
     e = _pow2_scale(jnp.max(jnp.abs(A), axis=1))  # (m,)
-    v = A / e[:, None]  # in [-1, 1]
-    sl = []
-    scale = 1.0
-    for _ in range(n_slices):
-        # integer slice in [-2^t, 2^t]; exact in bf16 (<= 8 significant bits)
-        w = jnp.round(v * (2.0 ** T_BITS))
-        v = v * (2.0 ** T_BITS) - w
-        scale = scale / (2.0 ** T_BITS)
-        # fold the significance into the stored slice: w * scale is the
-        # integer times a power of two — still exact in bf16.
-        sl.append((w * scale).astype(jnp.bfloat16))
-    S = jnp.stack(sl)  # (S, m, npad)
+    S = _fixed_point_slices(A / e[:, None], n_slices)  # (S, m, npad)
     S = S.reshape(n_slices, m, npad // CHUNK, CHUNK).transpose(0, 2, 1, 3)
     return SlicedMatrix(slices=S, row_scale=e)
 
 
 def _slice_vector(x, n_slices: int):
     """Slice fp64 vector (padded length npad) against one power-of-two
-    scale; returns ((S, C, CHUNK) bf16 slices, f scalar)."""
+    scale; returns ((S, npad) bf16 slices, f scalar)."""
     f = _pow2_scale(jnp.max(jnp.abs(x)))
-    v = x / f
-    sl = []
-    scale = 1.0
-    for _ in range(n_slices):
-        w = jnp.round(v * (2.0 ** T_BITS))
-        v = v * (2.0 ** T_BITS) - w
-        scale = scale / (2.0 ** T_BITS)
-        sl.append((w * scale).astype(jnp.bfloat16))
-    return jnp.stack(sl), f
+    return _fixed_point_slices(x / f, n_slices), f
+
+
+def _pair_block(a_slices, x_slices):
+    """All-pairs chunked contraction of slice blocks, reduced in fp64.
+
+    (S, C, m, CHUNK) x (T, C, CHUNK) -> (m,) fp64: contract the chunk lane
+    dim exactly in the fp32 accumulator (batch over chunks), then sum the
+    exact partials in fp64.
+    """
+    out = jax.lax.dot_general(
+        a_slices,
+        x_slices,
+        dimension_numbers=(((3,), (2,)), ((1,), (1,))),
+        preferred_element_type=jnp.float32,
+    )  # (C, S, m, T)
+    return jnp.sum(out.astype(jnp.float64), axis=(0, 1, 3))
 
 
 def matvec(sm: SlicedMatrix, x) -> jax.Array:
-    """y = A @ x with ~2^-48 relative accuracy from bf16 MXU passes.
+    """y = A @ x with ~2^{-8(S-1)} relative accuracy from bf16 MXU passes.
 
-    x is fp64 of length sm.n (or the padded length).  All S^2 slice-pair
-    contractions run as ONE dot_general (batch = chunk index) so the MXU
-    sees a single large bf16 matmul instead of 36 launches.
+    x is fp64 of length C*CHUNK (or shorter; zero-padded).  Slice pairs
+    (s, t) with s + t >= S contribute below 2^{-8S} relative to the row
+    scale — beneath the slicing truncation itself — so only the triangle
+    s + t <= S - 1 is needed.  It is covered by three rectangular
+    all-pairs blocks (static slices, so everything stays large batched
+    MXU matmuls):
+        [0, h) x [0, h),   [0, h-1) x [h, S),   [h, S) x [0, h-1)
+    with h = ceil(S/2): 34 bf16 passes instead of 49 at S = 7, every
+    needed pair included (a few extra pairs come along free).
     """
     S, C, m, _ = sm.slices.shape
     npad = C * CHUNK
@@ -153,14 +177,13 @@ def matvec(sm: SlicedMatrix, x) -> jax.Array:
         x = jnp.pad(x, (0, npad - x.shape[0]))
     xs, f = _slice_vector(x, S)  # (S, npad) -> reshape chunked
     xs = xs.reshape(S, C, CHUNK)
-    # (S, C, m, CHUNK) x (T, C, CHUNK) -> (C, S, T, m): contract the chunk
-    # lane dim exactly in the fp32 accumulator; batch over chunks.
-    out = jax.lax.dot_general(
-        sm.slices,
-        xs,
-        dimension_numbers=(((3,), (2,)), ((1,), (1,))),
-        preferred_element_type=jnp.float32,
-    )  # (C, S, m, T)
-    # Cross-chunk / cross-pair reduction in fp64: every summand is exact.
-    y = jnp.sum(out.astype(jnp.float64), axis=(0, 1, 3))  # (m,)
+    h = (S + 1) // 2
+    y = _pair_block(sm.slices[:h], xs[:h])
+    if h < S:
+        # pairs with t >= h need s <= S-1-h (and symmetrically), so the
+        # side blocks span [0, S-h) — NOT h-1, which would drop the
+        # s+t = S-1 diagonal pairs whenever S is even.
+        lo = S - h
+        y = y + _pair_block(sm.slices[:lo], xs[h:])
+        y = y + _pair_block(sm.slices[h:], xs[:lo])
     return sm.row_scale * (f * y)

@@ -1,7 +1,8 @@
 """The m=4096 measurement point (post-Ozaki scaling frontier).
 
-TPU: 4 instances (m=4096, n=8192, 5% dense) vmapped into one program —
-~1 GB of fp64 A plus ~3.6 GB of bf16 Ozaki slices on a 16 GB v5e.
+TPU: 2 instances (m=4096, n=8192, 5% dense) vmapped into one program
+(k=4 exhausts the 16 GB v5e: fp64 A + two bf16 slice sets + while_loop
+double buffering).
 CPU baseline: HiGHS-IPM on ONE instance (serial HiGHS at this size runs
 tens of minutes; iter/s extrapolates per-instance).
 """
@@ -34,7 +35,9 @@ def main():
 
     import madipm_tpu as mt
 
-    k, n, m, density = 4, 8192, 4096, 0.05
+    # k=4 exhausts the 16 GB v5e (fp64 A + two bf16 slice sets + while_loop
+    # double buffering); k=2 fits.
+    k, n, m, density = 2, 8192, 4096, 0.05
     models = benchmod.make_suite(k=k, n=n, m=m, density=density)
 
     opts = dict(

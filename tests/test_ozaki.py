@@ -87,6 +87,22 @@ class TestMatvec:
         y = np.asarray(ozaki.matvec(sm, jnp.asarray(x)))
         np.testing.assert_array_equal(y[:3], (A @ x)[:3])
 
+    @pytest.mark.parametrize("n_slices", [2, 4, 6, 7, 8])
+    def test_triangle_covers_every_needed_pair(self, rng, n_slices):
+        # Regression: the rectangular triangle cover must include every
+        # pair with s + t <= S - 1 for EVEN S too (an earlier [0, h-1)
+        # bound dropped the s + t = S - 1 diagonal there, costing ~8 bits).
+        m, n = 128, 256
+        A = rng.standard_normal((m, n)) * np.exp(rng.uniform(-4, 4, (m, 1)))
+        x = rng.standard_normal(n) * np.exp(rng.uniform(-4, 4, n))
+        sm = ozaki.slice_matrix(jnp.asarray(A), n_slices=n_slices)
+        y = np.asarray(ozaki.matvec(sm, jnp.asarray(x)))
+        scale = np.max(np.abs(A), axis=1) * np.max(np.abs(x)) * n
+        err = np.max(np.abs(y - A @ x) / scale)
+        # truncation-level bound: ~2^{-8(S-1)} with generous slack, which
+        # the dropped-diagonal bug violates by ~2^8.
+        assert err < 2.0 ** (-8 * (n_slices - 1)) * 8
+
     def test_vmap_batches(self, rng):
         k, m, n = 3, 128, 256
         A = rng.standard_normal((k, m, n))
