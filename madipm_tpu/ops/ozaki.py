@@ -19,14 +19,13 @@ the int8 tensor-core variant is known as ozIMMU) adapted to the TPU:
    128-chunk accumulates <= 128 * 2^16 = 2^23 in fp32 — EXACTLY.  All
    rounding is confined to the final cross-chunk/cross-pair reduction,
    performed in fp64 on values that are themselves exact.
-4. Slice pairs with ``k + l >= S`` contribute below 2^{-8S} relative to
-   ``e_i * f`` — beneath the slicing truncation itself — and are skipped:
-   :func:`matvec` covers the needed triangle with three rectangular
-   all-pairs blocks (34 passes at S = 7 instead of 49).
+4. All S^2 slice pairs run as ONE chunked dot_general (one large MXU
+   matmul; a triangle truncation of the sub-floor pairs measured slower —
+   see :func:`matvec`).
 
 With ``S = 7`` (the default) the result carries ~2^-44 relative accuracy
 (vs ~2^-42 for a native-fp64 matvec's n-term accumulation) at the cost
-of 34 bf16 MXU passes — measured 15.1x cheaper than the emulated-fp64
+of 49 bf16 MXU passes — measured 15.1x cheaper than the emulated-fp64
 matvec at the bench shape (scripts/microbench_ozaki.py), with the matrix
 slices precomputed once per solve.
 
@@ -160,15 +159,13 @@ def _pair_block(a_slices, x_slices):
 def matvec(sm: SlicedMatrix, x) -> jax.Array:
     """y = A @ x with ~2^{-8(S-1)} relative accuracy from bf16 MXU passes.
 
-    x is fp64 of length C*CHUNK (or shorter; zero-padded).  Slice pairs
-    (s, t) with s + t >= S contribute below 2^{-8S} relative to the row
-    scale — beneath the slicing truncation itself — so only the triangle
-    s + t <= S - 1 is needed.  It is covered by three rectangular
-    all-pairs blocks (static slices, so everything stays large batched
-    MXU matmuls):
-        [0, h) x [0, h),   [0, h-1) x [h, S),   [h, S) x [0, h-1)
-    with h = ceil(S/2): 34 bf16 passes instead of 49 at S = 7, every
-    needed pair included (a few extra pairs come along free).
+    x is fp64 of length C*CHUNK (or shorter; zero-padded).  All S^2
+    slice pairs run as ONE chunked dot_general: a triangle truncation
+    (pairs s + t >= S contribute below the slicing floor) was measured
+    SLOWER despite 30% fewer FLOPs — splitting into three rectangular
+    blocks traded one large MXU matmul for three smaller dispatches
+    (291 vs 359 iter/s on the headline bench), so the full all-pairs
+    contraction stays.
     """
     S, C, m, _ = sm.slices.shape
     npad = C * CHUNK
@@ -177,13 +174,5 @@ def matvec(sm: SlicedMatrix, x) -> jax.Array:
         x = jnp.pad(x, (0, npad - x.shape[0]))
     xs, f = _slice_vector(x, S)  # (S, npad) -> reshape chunked
     xs = xs.reshape(S, C, CHUNK)
-    h = (S + 1) // 2
-    y = _pair_block(sm.slices[:h], xs[:h])
-    if h < S:
-        # pairs with t >= h need s <= S-1-h (and symmetrically), so the
-        # side blocks span [0, S-h) — NOT h-1, which would drop the
-        # s+t = S-1 diagonal pairs whenever S is even.
-        lo = S - h
-        y = y + _pair_block(sm.slices[:lo], xs[h:])
-        y = y + _pair_block(sm.slices[h:], xs[:lo])
+    y = _pair_block(sm.slices, xs)
     return sm.row_scale * (f * y)
