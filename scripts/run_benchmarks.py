@@ -55,31 +55,98 @@ def find_instances(src: str, listing: str | None, excluded: set[str]):
     return out
 
 
-def make_synthetic(k: int, seed0: int = 1234):
-    """Feasible-by-construction LPs at Netlib scale (self-measured baseline
-    per SURVEY §6: the reference repo publishes no numbers)."""
+def _random_lp(rng, m, n, density, name):
     import madipm_tpu as mt
 
+    A = rng.standard_normal((m, n)) * (rng.random((m, n)) < density)
+    empty = np.flatnonzero(np.abs(A).sum(axis=1) == 0)
+    for r in empty:
+        A[r, rng.integers(n)] = 1.0
+    xstar = rng.random(n) + 0.5
+    b = A @ xstar
+    uvar = np.full(n, np.inf)
+    ub = rng.random(n) < 0.25
+    uvar[ub] = xstar[ub] + 3 * rng.random(ub.sum())
+    return mt.from_dense(
+        c=rng.random(n) + 0.1, A=A, lcon=b, ucon=b,
+        lvar=np.zeros(n), uvar=uvar, name=name,
+    )
+
+
+def _transport_lp(rng, ns, nd, name):
+    """Transportation LP: ship from ns sources to nd sinks at min cost.
+
+    The classic totally-unimodular network structure real Netlib
+    instances are full of: 2 nonzeros per column, massive primal
+    degeneracy — a stress test for step rules and bound-dual recovery
+    rather than for the factorization."""
+    import madipm_tpu as mt
+
+    supply = rng.random(ns) + 0.5
+    demand_w = rng.random(nd) + 0.5
+    demand = demand_w / demand_w.sum() * supply.sum()
+    n = ns * nd
+    A = np.zeros((ns + nd, n))
+    for i in range(ns):
+        A[i, i * nd:(i + 1) * nd] = 1.0
+    for j in range(nd):
+        A[ns + j, j::nd] = 1.0
+    b = np.concatenate([supply, demand])
+    c = (rng.random((ns, nd)) + 0.1 + 0.5 * np.abs(
+        np.arange(ns)[:, None] / ns - np.arange(nd)[None, :] / nd
+    )).ravel()
+    return mt.from_dense(
+        c=c, A=A, lcon=b, ucon=b, lvar=np.zeros(n),
+        uvar=np.full(n, np.inf), name=name,
+    )
+
+
+def _staircase_lp(rng, periods, nx, name):
+    """Multiperiod staircase LP (production planning): block-banded A
+    linking consecutive periods — the other canonical Netlib structure
+    (long thin banded systems, moderate fill in the normal matrix)."""
+    import madipm_tpu as mt
+
+    m, n = periods * nx // 2, periods * nx
+    A = np.zeros((m, n))
+    rows_per = nx // 2
+    for p in range(periods):
+        r0, c0 = p * rows_per, p * nx
+        blk = rng.standard_normal((rows_per, nx)) * (rng.random((rows_per, nx)) < 0.4)
+        blk[np.abs(blk).sum(1) == 0, 0] = 1.0
+        A[r0:r0 + rows_per, c0:c0 + nx] = blk
+        if p + 1 < periods:  # coupling into the next period
+            link = rng.standard_normal((rows_per, nx // 4)) * 0.5
+            A[r0:r0 + rows_per, c0 + nx:c0 + nx + nx // 4] = link
+    xstar = rng.random(n) + 0.5
+    b = A @ xstar
+    return mt.from_dense(
+        c=rng.random(n) + 0.1, A=A, lcon=b, ucon=b, lvar=np.zeros(n),
+        uvar=np.full(n, np.inf), name=name,
+    )
+
+
+def make_synthetic(k: int, seed0: int = 1234):
+    """Feasible-by-construction LPs at Netlib scale (self-measured baseline
+    per SURVEY §6: the reference repo publishes no numbers).
+
+    Three families cycle: random sparse rows, transportation networks
+    (totally unimodular, degenerate), and multiperiod staircases (banded)
+    — the structures the Netlib suite is made of."""
+    rng0 = np.random.default_rng(seed0)
     sizes = [(192, 384), (256, 512), (128, 256), (384, 768)]
     models = []
     for i in range(k):
-        m, n = sizes[i % len(sizes)]
         rng = np.random.default_rng(seed0 + i)
-        A = rng.standard_normal((m, n)) * (rng.random((m, n)) < 0.3)
-        empty = np.flatnonzero(np.abs(A).sum(axis=1) == 0)
-        for r in empty:
-            A[r, rng.integers(n)] = 1.0
-        xstar = rng.random(n) + 0.5
-        b = A @ xstar
-        uvar = np.full(n, np.inf)
-        ub = rng.random(n) < 0.25
-        uvar[ub] = xstar[ub] + 3 * rng.random(ub.sum())
-        models.append(
-            mt.from_dense(
-                c=rng.random(n) + 0.1, A=A, lcon=b, ucon=b,
-                lvar=np.zeros(n), uvar=uvar, name=f"synth{i}",
-            )
-        )
+        fam = i % 3
+        if fam == 0:
+            m, n = sizes[i % len(sizes)]
+            models.append(_random_lp(rng, m, n, 0.3, f"synth{i}"))
+        elif fam == 1:
+            ns, nd = 12 + 2 * (i % 4), 20 + 3 * (i % 5)
+            models.append(_transport_lp(rng, ns, nd, f"transp{i}"))
+        else:
+            models.append(_staircase_lp(rng, 6 + (i % 3) * 2, 48, f"stair{i}"))
     return models
 
 
@@ -175,6 +242,7 @@ def main():
             linear_solver=mt.LinearSolver.CHOLESKY_INV,
             factor_dtype="float32",
             refinement_steps=6,
+            pcg_adaptive_tol=True,  # headline bench config (bench.py)
         )
 
     # --- Collect instances
