@@ -152,6 +152,22 @@ def _assemble_normal(prob: DeviceQP, sigma, del_c, factor_dtype):
 #: the role of MadNLP's RelaxEquality slack relaxation for its condensed KKT.
 CONDENSED_RELAX_MIN = 1e-8
 
+#: Diagonal shift added to the Jacobi-scaled matrix BEFORE a low-precision
+#: factorization (only when fp64 PCG recovery is active).  The factor is
+#: just a preconditioner there, so it may be regularized far more strongly
+#: than the true system: with linearly dependent constraint rows (e.g.
+#: transportation LPs, where supply and demand rows sum identically) the
+#: scaled normal matrix is singular up to the user's del_c ~ 1e-8 — an
+#: fp32 Cholesky pivot of ~1e-4 drowning in ~1e-5 accumulation noise,
+#: which either NaNs (caught) or silently produces a garbage factor
+#: (ERROR_IN_STEP_COMPUTATION downstream).  Shifting the PRECONDITIONER by
+#: 1e-6 keeps its pivots >= 1e-3 (healthy in fp32) while the PCG operator
+#: keeps the exact del_c; null-direction preconditioned eigenvalues land
+#: at ~1e-2, costing at most a few extra Krylov iterations.  The reference
+#: never faces this because its direct solvers factor in fp64 with
+#: pivoting (cuDSS LDL / Ma57).
+PRECOND_SHIFT = 1e-6
+
 
 def _assemble_condensed(prob: DeviceQP, sigma, del_c, factor_dtype):
     """C = diag(sigma) + Q + gamma A'A with masked columns pinned to 1.
@@ -216,6 +232,12 @@ def factorize(cfg: KKTConfig, prob: DeviceQP, x, zl, zu, del_w, del_c):
             dS = jnp.diagonal(S)
             jac = jax.lax.rsqrt(jnp.maximum(dS, jnp.finfo(cfg.factor_dtype).tiny))
             Shat = S * jac[:, None] * jac[None, :]
+            if cfg.refinement_steps > 0 and jnp.dtype(cfg.factor_dtype) != rdtype:
+                # Preconditioner-only shift (see PRECOND_SHIFT): the PCG
+                # operator keeps the exact del_c.
+                Shat = Shat + jnp.asarray(PRECOND_SHIFT, cfg.factor_dtype) * jnp.eye(
+                    Shat.shape[-1], dtype=cfg.factor_dtype
+                )
             if cfg.linear_solver == LinearSolver.CHOLESKY_INV:
                 if cfg.use_pallas and Shat.shape[-1] <= pallas_chol.MAX_VMEM_N_INV:
                     Lc, W = pallas_chol.pallas_chol_inv(Shat)
@@ -244,6 +266,10 @@ def factorize(cfg: KKTConfig, prob: DeviceQP, x, zl, zu, del_w, del_c):
             dC = jnp.diagonal(C)
             jac = jax.lax.rsqrt(jnp.maximum(dC, jnp.finfo(cfg.factor_dtype).tiny))
             Chat = C * jac[:, None] * jac[None, :]
+            if cfg.refinement_steps > 0 and jnp.dtype(cfg.factor_dtype) != rdtype:
+                Chat = Chat + jnp.asarray(PRECOND_SHIFT, cfg.factor_dtype) * jnp.eye(
+                    Chat.shape[-1], dtype=cfg.factor_dtype
+                )
             if cfg.linear_solver == LinearSolver.CHOLESKY_INV:
                 # Matmul-only inverse factor (solves avoid lax.linalg
                 # triangular solves — the TPU fast path, as in NORMAL).
