@@ -487,3 +487,34 @@ class TestRankDeficient:
         st = mt.madipm(full, print_level=mt.PrintLevel.ERROR)  # defaults
         assert ref.success and st.success
         assert st.objective == pytest.approx(ref.objective, rel=1e-6)
+
+    def test_dependent_rows_fp32_factor(self):
+        # Regression for ops/kkt.PRECOND_SHIFT: with an fp32 factor + fp64
+        # PCG (the TPU config), rank-deficient rows leave the Jacobi-scaled
+        # normal matrix singular up to del_c ~ 1e-8 and previously NaN'd
+        # the step (ERROR_IN_STEP_COMPUTATION).  The preconditioner-only
+        # 1e-6 shift must carry these to full tolerance.
+        from madipm_tpu.models.generators import transportation_lp
+        import scipy.sparse as sp
+
+        ns, nd = 6, 9
+        mdl = transportation_lp(ns, nd, seed=11)
+        last_demand = np.zeros(mdl.nvar)
+        last_demand[np.arange(nd - 1, mdl.nvar, nd)] = 1.0
+        A = sp.vstack([mdl.A, sp.csr_matrix(last_demand)]).tocsr()
+        bl = np.concatenate([mdl.lcon, [mdl.lcon[:ns].sum() - mdl.lcon[ns:].sum()]])
+        full = mt.QuadraticModel(c=mdl.c, A=A, lcon=bl, ucon=bl,
+                                 lvar=mdl.lvar, uvar=mdl.uvar)
+        ref = mt.madipm(full, print_level=mt.PrintLevel.ERROR)  # fp64 factor
+        st = mt.madipm(
+            full,
+            print_level=mt.PrintLevel.ERROR,
+            regularization=mt.FixedRegularization(1e-8, -1e-8),
+            linear_solver=mt.LinearSolver.CHOLESKY_INV,
+            factor_dtype="float32",
+            refinement_steps=6,
+            pcg_adaptive_tol=True,
+        )
+        assert ref.success and st.success, (ref.status, st.status)
+        assert st.objective == pytest.approx(ref.objective, rel=1e-6)
+        assert st.primal_feas < 1e-8 and st.dual_feas < 1e-8
