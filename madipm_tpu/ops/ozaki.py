@@ -156,7 +156,116 @@ def _pair_block(a_slices, x_slices):
     return jnp.sum(out.astype(jnp.float64), axis=(0, 1, 3))
 
 
-def matvec(sm: SlicedMatrix, x) -> jax.Array:
+def matvec(sm: SlicedMatrix, x) -> jax.Array:  # noqa: E302
+    """y = A @ x with ~2^{-8(S-1)} relative accuracy from bf16 MXU passes.
+
+    x is fp64 of length C*CHUNK (or shorter; zero-padded).  All S^2
+    slice pairs run as ONE chunked dot_general: a triangle truncation
+    (pairs s + t >= S contribute below the slicing floor) was measured
+    SLOWER despite 30% fewer FLOPs — splitting into three rectangular
+    blocks traded one large MXU matmul for three smaller dispatches
+    (291 vs 359 iter/s on the headline bench), so the full all-pairs
+    contraction stays.
+    """
+    S, C, m, _ = sm.slices.shape
+    npad = C * CHUNK
+    x = jnp.asarray(x, jnp.float64)
+    if x.shape[0] != npad:
+        x = jnp.pad(x, (0, npad - x.shape[0]))
+    xs, f = _slice_vector(x, S)  # (S, npad) -> reshape chunked
+    xs = xs.reshape(S, C, CHUNK)
+    y = _pair_block(sm.slices, xs)
+    return sm.row_scale * (f * y)
+
+
+# ---------------------------------------------------------------------------
+# int8 variant: 7-bit slices, int32 MXU accumulation
+# ---------------------------------------------------------------------------
+#
+# Same error-free construction with the slices stored as int8 raw integers
+# instead of bf16 fixed-point values:
+#
+# * slice width drops to 7 bits so every slice (incl. the first, after an
+#   extra halving folded into the row scale) lies in [-64, 64] — int8-safe;
+# * slice-pair products are <= 2^12 and accumulate in the int32 MXU path
+#   (TPU runs s8 x s8 -> s32 at 2x the bf16 rate), exactly, for contraction
+#   lengths up to 2^31 / 2^12 = 2^19 — NO chunking needed, unlike the bf16
+#   scheme whose fp32 accumulator caps chunks at 128;
+# * HBM traffic halves: 8 slices x 1 byte = 8 B/entry vs bf16's
+#   7 x 2 = 14 B/entry — and the matvec is bandwidth-bound.
+#
+# Accuracy: 8 slices x 7 bits = 56 bits per operand, the same 2^-56 slicing
+# grid as the bf16 S=7 scheme (which carries 56 bits too).
+
+T8_BITS = 7
+N8_SLICES = 8
+
+
+class SlicedMatrixI8(NamedTuple):
+    """int8 Ozaki slices of a (m, n) fp64 matrix.
+
+    slices: (S, m, n) int8 — raw integer slices in [-64, 64]; slice k
+        carries significance 2^{-7(k+1)} relative to row_scale.
+    row_scale: (m,) fp64 — 2 * e_i (the extra 2 halves the leading slice
+        into int8 range).
+    """
+
+    slices: jax.Array
+    row_scale: jax.Array
+
+
+def _fixed_point_slices_i8(v, n_slices: int):
+    """Decompose ``v`` (in [-1/2, 1/2]) into 7-bit int8 slices.
+
+    v = sum_k w_k 2^{-7(k+1)} + r, |w_k| <= 64, |r| <= 2^{-7S-1}.
+    Round-to-nearest keeps every remainder in [-1/2, 1/2] of the next
+    slice's grid, so all slices (not just the first) fit int8.
+    """
+    sl = []
+    for _ in range(n_slices):
+        w = jnp.round(v * (2.0 ** T8_BITS))
+        v = v * (2.0 ** T8_BITS) - w
+        sl.append(w.astype(jnp.int8))
+    return jnp.stack(sl)
+
+
+def slice_matrix_i8(A, n_slices: int = N8_SLICES) -> SlicedMatrixI8:
+    """Decompose fp64 ``A`` (m, n) into int8 slices (see module notes)."""
+    A = jnp.asarray(A, jnp.float64)
+    e = _pow2_scale(jnp.max(jnp.abs(A), axis=1))  # (m,)
+    S = _fixed_point_slices_i8(A / (2.0 * e[:, None]), n_slices)
+    return SlicedMatrixI8(slices=S, row_scale=2.0 * e)
+
+
+#: pair-significance weights w[s,t] = 2^{-7(s+t+2)} for the fp64 combine.
+def _i8_weights(S: int, T: int):
+    s = np.arange(S)[:, None]
+    t = np.arange(T)[None, :]
+    return jnp.asarray(2.0 ** (-T8_BITS * (s + t + 2.0)), jnp.float64)
+
+
+def matvec_i8(sm: SlicedMatrixI8, x) -> jax.Array:
+    """y = A @ x via int8 MXU passes with int32 exact accumulation.
+
+    All S*T slice pairs run as ONE s8 dot_general over the full
+    contraction axis (int32 partials stay exact up to length 2^19);
+    int32 -> fp64 conversion is exact below 2^53, so the only rounding
+    is the final weighted fp64 reduction over the S*T exact partials.
+    """
+    S, m, n = sm.slices.shape
+    x = jnp.asarray(x, jnp.float64)
+    if x.shape[0] != n:
+        x = jnp.pad(x, (0, n - x.shape[0]))
+    f = _pow2_scale(jnp.max(jnp.abs(x)))
+    xs = _fixed_point_slices_i8(x / (2.0 * f), S)  # (T, n) int8
+    P = jax.lax.dot_general(
+        sm.slices,
+        xs,
+        dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (S, m, T) int32, exact
+    y = jnp.einsum("smt,st->m", P.astype(jnp.float64), _i8_weights(S, S))
+    return sm.row_scale * ((2.0 * f) * y)
     """y = A @ x with ~2^{-8(S-1)} relative accuracy from bf16 MXU passes.
 
     x is fp64 of length C*CHUNK (or shorter; zero-padded).  All S^2
