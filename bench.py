@@ -111,20 +111,27 @@ def bench_tpu(models, opts):
     log(f"tpu: first run (incl compile) {compile_and_first:.1f}s")
 
     # Timed: R back-to-back solves with distinct rhs scalings, each
-    # individually synced by fetching the iteration counts.  Median wall
-    # time is reported (robust to a straggler tunnel RPC).
+    # individually synced by fetching the iteration counts.  The headline is
+    # the MEDIAN of the per-run iters/wall ratios — pairing each run's
+    # iteration count with ITS OWN wall time.  (Round 1 paired mean-iters
+    # with median-wall, which inflated the number ~30% whenever one run was
+    # slow; see VERDICT.md "What's weak" #1.)
     R = 3
     walls = []
     iters_each = []
     for r in range(1, R + 1):
         t0 = time.time()
         _, scale, state = fn(probs, 1.0 + 1e-4 * r)
-        iters_each.append(int(np.sum(np.asarray(state.k))))
+        per_inst = np.asarray(state.k)
+        iters_each.append(int(np.sum(per_inst)))
         walls.append(time.time() - t0)
-        log(f"tpu: run {r}: {walls[-1]:.3f}s, {iters_each[-1]} iters")
-    wall = float(np.median(walls))
+        log(f"tpu: run {r}: {walls[-1]:.3f}s, {iters_each[-1]} iters, "
+            f"per-instance k={per_inst.tolist()}")
+    rates = [i / w for i, w in zip(iters_each, walls)]
+    log(f"tpu: per-run rates: {[f'{x:.1f}' for x in rates]}")
+    med = int(np.argsort(rates)[len(rates) // 2])
+    iters, wall = iters_each[med], walls[med]
     stats = batched_stats(models, scale, state, wall)
-    iters = int(np.mean(iters_each))
     return iters, wall, stats
 
 

@@ -62,12 +62,25 @@ class MPCSolver:
         dtype=None,
         pad_multiple: int = 128,
         sparse: Optional[bool] = None,
+        mesh=None,
         **options,
     ):
+        """``mesh`` (a jax.sharding.Mesh) distributes the single-instance
+        solve: column-sharded problem data + strip-sharded normal-matrix
+        factorization over the mesh (parallel/schur.py, parallel/dist_chol.py).
+        NORMAL KKT (LPs) only; pad_multiple is raised so every padded
+        dimension divides the mesh."""
         _ensure_x64()
         self.model = model
         self.opt = options.pop("options", None) or load_options(**options)
         self.dtype = jnp.dtype(dtype) if dtype is not None else jnp.float64
+        self.mesh = mesh
+        if mesh is not None:
+            import math
+
+            nsh = math.prod(mesh.shape.values())
+            # every padded dim must divide the mesh (row strips + col shards)
+            pad_multiple = max(pad_multiple, 128 * nsh)
         t0 = time.time()
         self.slack_model = slack_form(model)
         if sparse is None:
@@ -113,15 +126,34 @@ class MPCSolver:
             self.prob = pad_to_device(
                 self.slack_model, dtype=self.dtype, pad_multiple=pad_multiple
             )
-        self.cfg = driver.make_config(self.opt, is_qp=self.prob.is_qp, dtype=self.dtype)
+        if mesh is not None:
+            if sparse:
+                raise ValueError("mesh-distributed solves use the dense path")
+            from .parallel.schur import shard_columns
+
+            axis = list(mesh.shape.keys())[0]
+            self.prob = shard_columns(self.prob, mesh, axis)
+            self.cfg = driver.make_config(
+                self.opt, is_qp=self.prob.is_qp, dtype=self.dtype,
+                mesh=mesh, dist_axis=axis,
+            )
+        else:
+            self.cfg = driver.make_config(
+                self.opt, is_qp=self.prob.is_qp, dtype=self.dtype
+            )
         self.init_time = time.time() - t0
 
-    def solve(self, logged: bool = None, trace_dir: str = None) -> IPMStats:
+    def solve(
+        self, logged: bool = None, trace_dir: str = None, timed: bool = False
+    ) -> IPMStats:
         """Run the MPC loop.  ``trace_dir`` captures an XLA profiler trace
         of the solve (utils/logging.profile_trace); ``logged`` forces the
         per-iteration table on/off (default: on at print_level<=INFO,
         routed through the Logger with its optional ``output_file`` sink —
-        reference: src/utils.jl:131-137)."""
+        reference: src/utils.jl:131-137).  ``timed=True`` runs the
+        phase-timed driver instead, filling ``IPMStats.linear_solver_time``
+        (the reference's per-instance counter, scripts/benchmarks_cpu.jl:50)
+        at the cost of per-phase host syncs."""
         from .utils.logging import Logger, profile_trace
 
         t0 = time.time()
@@ -138,20 +170,56 @@ class MPCSolver:
             file_print_level=self.opt.file_print_level,
             output_file=self.opt.output_file,
         )
-        with profile_trace(trace_dir):
-            if logged:
-                prob_s, scale, state = driver.solve_logged(
-                    self.cfg,
-                    self.prob,
-                    print_fn=logger.info,
-                    max_wall_time=self.opt.max_wall_time,
-                )
-            else:
-                run = jax.jit(driver.solve_device, static_argnums=0)
-                prob_s, scale, state = run(self.cfg, self.prob)
-                state = jax.tree_util.tree_map(lambda a: a.block_until_ready(), state)
+        # Host-side exceptions map to a status unless rethrow_error, like
+        # the reference's try/catch ladder (src/solver.jl:374-405 guarded by
+        # `solver.opt.rethrow_error && rethrow(e)`).  On-device NaNs are
+        # handled separately inside the loop (ERROR_IN_STEP_COMPUTATION).
+        lin_time = None
+        try:
+            with profile_trace(trace_dir):
+                if timed:
+                    prob_s, scale, state, timers = driver.solve_timed(
+                        self.cfg,
+                        self.prob,
+                        max_wall_time=self.opt.max_wall_time,
+                    )
+                    lin_time = timers["linear_solver_time"]
+                elif logged:
+                    prob_s, scale, state = driver.solve_logged(
+                        self.cfg,
+                        self.prob,
+                        print_fn=logger.info,
+                        max_wall_time=self.opt.max_wall_time,
+                    )
+                elif self.opt.max_wall_time < 1e6:
+                    # Finite wall-time budget: the chunked driver enforces it
+                    # in-loop (reference src/solver.jl:216).
+                    prob_s, scale, state = driver.solve_device_chunked(
+                        self.cfg, self.prob, self.opt.max_wall_time
+                    )
+                else:
+                    run = jax.jit(driver.solve_device, static_argnums=0)
+                    prob_s, scale, state = run(self.cfg, self.prob)
+                    state = jax.tree_util.tree_map(
+                        lambda a: a.block_until_ready(), state
+                    )
+        except KeyboardInterrupt:
+            if self.opt.rethrow_error:
+                raise
+            stats = self._error_stats(Status.USER_REQUESTED_STOP, time.time() - t0)
+            logger.notice(f"EXIT: {stats.message()}")
+            logger.close()
+            return stats
+        except Exception as e:  # noqa: BLE001 — status-mapping boundary
+            if self.opt.rethrow_error:
+                raise
+            logger.error(f"solve failed: {type(e).__name__}: {e}")
+            stats = self._error_stats(Status.INTERNAL_ERROR, time.time() - t0)
+            logger.notice(f"EXIT: {stats.message()}")
+            logger.close()
+            return stats
         solver_time = time.time() - t0
-        stats = self._build_stats(scale, state, solver_time)
+        stats = self._build_stats(scale, state, solver_time, lin_time)
         logger.notice(
             f"EXIT: {stats.message()}  (iter={stats.iter}, "
             f"obj={stats.objective:.8e}, time={stats.total_time:.3f}s)"
@@ -159,7 +227,27 @@ class MPCSolver:
         logger.close()
         return stats
 
-    def _build_stats(self, scale, state, solver_time) -> IPMStats:
+    def _error_stats(self, status: Status, solver_time: float) -> IPMStats:
+        """Stats shell for a solve that died host-side (no iterate available)."""
+        m0, n0 = self.model.ncon, self.model.nvar
+        return IPMStats(
+            status=status,
+            objective=float("nan"),
+            solution=np.full(n0, np.nan),
+            constraints=np.full(m0, np.nan),
+            multipliers=np.full(m0, np.nan),
+            multipliers_L=np.full(n0, np.nan),
+            multipliers_U=np.full(n0, np.nan),
+            iter=0,
+            primal_feas=float("inf"),
+            dual_feas=float("inf"),
+            complementarity=float("inf"),
+            total_time=solver_time + self.init_time,
+            init_time=self.init_time,
+            solver_time=solver_time,
+        )
+
+    def _build_stats(self, scale, state, solver_time, lin_time=None) -> IPMStats:
         m0, n0 = self.model.ncon, self.model.nvar
         osc = float(scale.obj_scale)
         csc = np.asarray(scale.con_scale)[:m0]
@@ -185,6 +273,7 @@ class MPCSolver:
             total_time=solver_time + self.init_time,
             init_time=self.init_time,
             solver_time=solver_time,
+            linear_solver_time=lin_time,
         )
 
 

@@ -64,21 +64,41 @@ class SolverConfig:
     bound_relax_factor: float
     step_rule: object
     regularization: object
+    #: Mehrotra barrier-update strategy instance (sigma clamp/power;
+    #: reference update_barrier! dispatch, src/solver.jl:235).
+    barrier_update: object
     check_residual: bool
     tol_linear_solve: float
     pcg_adaptive_tol: bool = False
+    #: balanced-central-path coefficient (see _direction_phase); 0 disables.
+    mu_balance: float = 1e-2
     #: evaluate fp64 A-matvecs via the error-free bf16 Ozaki slicing on the
     #: MXU (ops/ozaki.py) instead of XLA's emulated fp64 — several times
     #: faster on TPU at ~2^-44 accuracy; resolved from IPMOptions.fp64_matvec.
     use_ozaki: bool = False
+    #: "bf16" (7 bf16 slices, fp32 accumulation) or "i8" (8 int8 slices,
+    #: int32 accumulation) — see ops/ozaki.py module notes.
+    ozaki_variant: str = "bf16"
 
 
-def make_config(opt: IPMOptions, is_qp: bool, dtype=jnp.float64) -> SolverConfig:
+def make_config(
+    opt: IPMOptions, is_qp: bool, dtype=jnp.float64,
+    mesh=None, dist_axis: str = "cols",
+) -> SolverConfig:
+    """``mesh`` (a jax.sharding.Mesh) routes the NORMAL-path factorization
+    through the distributed strip Cholesky (parallel/dist_chol.py): the
+    m x m normal matrix is reduce-scattered and panel-factored across the
+    mesh axis ``dist_axis`` instead of replicated."""
     kind = opt.resolved_kkt(is_qp)
     if kind == KKTSystem.NORMAL and is_qp:
         raise ValueError(
             "NormalKKT supports only linear programs (reference: "
             "src/KKT/normalkkt.jl:45-48); use kkt_system=AUGMENTED for QPs."
+        )
+    if mesh is not None and kind != KKTSystem.NORMAL:
+        raise ValueError(
+            f"the distributed factorization supports the NORMAL KKT system "
+            f"only, got {kind} (use kkt_system=NORMAL or mesh=None)"
         )
     factor_dtype = jnp.dtype(opt.factor_dtype) if opt.factor_dtype else jnp.dtype(dtype)
     # Refinement sweeps only pay off when the factor runs below the residual
@@ -107,18 +127,40 @@ def make_config(opt: IPMOptions, is_qp: bool, dtype=jnp.float64) -> SolverConfig
         max_factor_trials=3,
         use_pallas=use_pallas,
         use_flex_pcg=opt.pcg_flex,
+        dist_mesh=mesh,
+        dist_axis=dist_axis,
     )
+    from ..utils.options import Mehrotra
+
+    barrier = opt.barrier_update
+    if not isinstance(barrier, Mehrotra):
+        raise ValueError(
+            f"barrier_update must be a Mehrotra instance, got {barrier!r} "
+            "(the only strategy the reference implements, src/utils.jl:10-11)"
+        )
+    ozaki_variant = "bf16"
     if opt.fp64_matvec == "auto":
         # Ozaki pays off exactly where fp64 is emulated (TPU); native-fp64
         # backends (CPU oracle tests) keep the exact matvec.
         use_ozaki = jax.default_backend() == "tpu" and jnp.dtype(dtype) == jnp.float64
     elif opt.fp64_matvec == "ozaki":
         use_ozaki = jnp.dtype(dtype) == jnp.float64
+    elif opt.fp64_matvec == "ozaki_i8":
+        if jax.default_backend() == "tpu":
+            raise ValueError(
+                "fp64_matvec='ozaki_i8' is blocked on TPU: XLA lowers the "
+                "s8 dot through bf16 passes — measured 3.4e-6 scaled error "
+                "and no speedup over 'ozaki' (scripts/microbench_ozaki.py); "
+                "use 'ozaki' (exact, 14x emulated fp64) instead"
+            )
+        use_ozaki = jnp.dtype(dtype) == jnp.float64
+        ozaki_variant = "i8"
     elif opt.fp64_matvec == "emulated":
         use_ozaki = False
     else:
         raise ValueError(
-            f"fp64_matvec must be 'auto', 'ozaki' or 'emulated', got {opt.fp64_matvec!r}"
+            "fp64_matvec must be 'auto', 'ozaki', 'ozaki_i8' or 'emulated', "
+            f"got {opt.fp64_matvec!r}"
         )
     return SolverConfig(
         kkt=kcfg,
@@ -137,10 +179,13 @@ def make_config(opt: IPMOptions, is_qp: bool, dtype=jnp.float64) -> SolverConfig
         bound_relax_factor=opt.bound_relax_factor,
         step_rule=opt.step_rule,
         regularization=opt.regularization,
+        barrier_update=barrier,
         check_residual=opt.check_residual,
         tol_linear_solve=opt.tol_linear_solve,
         pcg_adaptive_tol=opt.pcg_adaptive_tol,
+        mu_balance=opt.mu_balance,
         use_ozaki=use_ozaki,
+        ozaki_variant=ozaki_variant,
     )
 
 
@@ -260,8 +305,13 @@ def initialize(cfg: SolverConfig, prob: DeviceQP) -> Tuple[DeviceQP, "ScaleInfo"
     # --- Ozaki slicing of the (scaled) Jacobian: from here on every fp64
     # A-matvec runs as error-free bf16 MXU passes (ops/ozaki.py).  Built
     # once per solve, after scaling (slices snapshot A's values).
+    # The SPARSE path (SparseDeviceQP, no with_ozaki) deliberately keeps
+    # plain emulated-fp64 SpMV: its ELL matvec is GATHER-bound, measured
+    # fp64/fp32 = 1.7x on a v5e (scripts/microbench_spmv.py) — a
+    # slice-pair scheme (49 gather passes) would be a large net loss
+    # there, unlike the matmul-shaped dense path's 24x.
     if cfg.use_ozaki and hasattr(prob_s, "with_ozaki"):
-        prob_s = prob_s.with_ozaki()
+        prob_s = prob_s.with_ozaki(cfg.ozaki_variant)
 
     # --- Initial regularization + gradient/norms
     del_w, del_c, reg_p, reg_d = _init_regularization(cfg, dtype)
@@ -380,6 +430,27 @@ def update_termination(
     infeasible = (inf_compl > cfg.divergence_tol * best) & (
         dobj > jnp.maximum(10.0 * jnp.abs(obj), 1.0)
     )
+    # Infeasibility by primal stall: the iteration has converged in the
+    # dual and complementarity senses but the primal residual is stuck FAR
+    # from zero — the least-squares limit point the MPC converges to on an
+    # infeasible LP is exactly such a point (no Farkas ray needed).  The
+    # 1e-4-ish sqrt(tol) floor on inf_pr keeps numerically-grinding but
+    # FEASIBLE instances (which stall around ~1e-5, see
+    # scripts/diag_blowup.py) out of this branch; they exit via
+    # acceptable/max_iter instead.  The reference's detector (compl
+    # divergence + dual blowup, src/solver.jl:209-213) stays as-is above —
+    # this catches the complementary case where nothing diverges.
+    improved = inf_pr < 0.99 * state.best_pr
+    best_pr = jnp.minimum(state.best_pr, inf_pr)
+    n_stall = jnp.where(improved, 0, state.n_stall + 1).astype(jnp.int32)
+    compl_floor = jnp.maximum(cfg.acceptable_tol, 10.0 * cfg.mu_balance * inf_pr)
+    stall_infeasible = (
+        (n_stall >= 100)
+        & (inf_pr > jnp.sqrt(cfg.tol))
+        & (inf_du <= cfg.acceptable_tol)
+        & (inf_compl <= compl_floor)
+    )
+    infeasible = infeasible | stall_infeasible
     diverging = obj < -cfg.divergence_tol * jnp.maximum(
         10.0, jnp.maximum(jnp.abs(dobj), 1.0)
     )
@@ -407,6 +478,7 @@ def update_termination(
     return state._replace(
         obj_val=obj, inf_pr=inf_pr, inf_du=inf_du, inf_compl=inf_compl,
         best_compl=best, status=status, n_acceptable=n_acc,
+        best_pr=best_pr, n_stall=n_stall,
     )
 
 
@@ -415,28 +487,29 @@ def update_termination(
 # ---------------------------------------------------------------------------
 
 
-def iteration(
-    cfg: SolverConfig, prob: DeviceQP, state: IPMState, ax=None, aty=None
-) -> IPMState:
-    # Use the state's working bounds (post adjust_boundary nudges).
+def _factor_phase(cfg: SolverConfig, prob: DeviceQP, state: IPMState):
+    """Regularization update + KKT factorization (reference
+    factorize_system!, src/solver.jl:299-303).  Split out so the timed
+    driver (solve_timed) can account it as linear-solver work the way the
+    reference's counters do (MadNLPCounters.linear_solver_time,
+    scripts/benchmarks_cpu.jl:50)."""
     prob = dataclasses.replace(prob, lb=state.lb, ub=state.ub)
-    x, y, zl, zu = state.x, state.y, state.zl, state.zu
-
-    # A x / A' y for the CURRENT iterate, computed once and shared by the
-    # predictor and corrector rhs builds (and, via _loop_body, the
-    # termination check): fp64 A-applications are the dominant per-iteration
-    # cost on TPU (emulated fp64 runs ~24x slower than fp32), so the same
-    # product is never evaluated twice.
-    if ax is None:
-        ax = prob.matvec(x)
-    if aty is None:
-        aty = prob.rmatvec(y)
-
-    # Factorize KKT system (reference factorize_system!, src/solver.jl:299-303)
     del_w, del_c, reg_p, reg_d = _update_regularization(cfg, state)
     factors, del_w, del_c, _ok = kkt_ops.factorize(
-        cfg.kkt, prob, x, zl, zu, del_w, del_c
+        cfg.kkt, prob, state.x, state.zl, state.zu, del_w, del_c
     )
+    return factors, del_w, del_c, reg_p, reg_d
+
+
+def _direction_phase(
+    cfg: SolverConfig, prob: DeviceQP, state: IPMState,
+    factors, ax, aty,
+):
+    """Predictor + Mehrotra corrector (+ Gondzio) KKT solves.  Returns the
+    accepted direction and the new barrier parameter; solve-dominated (the
+    RHS builds in here are elementwise O(n) glue)."""
+    prob = dataclasses.replace(prob, lb=state.lb, ub=state.ub)
+    x, y, zl, zu = state.x, state.y, state.zl, state.zu
 
     solve = partial(kkt_ops.solve_condensed, cfg.kkt, prob, factors)
 
@@ -465,7 +538,32 @@ def iteration(
         prob, x, zl, zu, dx, dzl, dzu, a_aff_p, a_aff_d
     )
     corr_l, corr_u = K.mehrotra_correction(prob, dx, dzl, dzu)
-    mu_new, mu_curr = K.mehrotra_barrier(prob, x, zl, zu, mu_aff, cfg.mu_min)
+    bu = cfg.barrier_update
+    mu_new, mu_curr = K.mehrotra_barrier(
+        prob, x, zl, zu, mu_aff, cfg.mu_min,
+        power=bu.power, sigma_min=bu.sigma_min, sigma_max=bu.sigma_max,
+    )
+    # Balanced central path: floor the barrier at mu_balance x the scaled
+    # infeasibility (state.inf_pr/inf_du are current — update_termination
+    # runs on this iterate before the step).  Without it, Mehrotra can
+    # drive mu to mu_min while feasibility is still ~1e-5 (seen on a
+    # perturbed bench instance, scripts/diag_blowup.py); Sigma then spans
+    # ~24 decades, the normal system's conditioning collapses past fp64,
+    # and PCG steps turn to noise — inf_pr stalls forever.  Keeping
+    # mu >= 1e-2 x residual keeps the Newton systems solvable until
+    # feasibility catches up (it normally LEADS mu, so the floor is inert
+    # on healthy solves).  The reference has no such guard: its fp64
+    # direct factorizations tolerate the collapse better, and its
+    # benchmark protocol accepts the occasional grind-to-max_iter.
+    if cfg.mu_balance > 0:
+        res_bal = jnp.maximum(state.inf_pr, state.inf_du)
+        # inf_pr/inf_du initialize to +inf; a state stepped without a prior
+        # update_termination pass (checkpoint resume, raw iteration calls)
+        # must not blow mu up — no floor until residuals are measured.
+        floor = jnp.where(
+            jnp.isfinite(res_bal), cfg.mu_balance * res_bal, 0.0
+        )
+        mu_new = jnp.maximum(mu_new, floor)
 
     # Mehrotra corrector (reference mehrotra_correction_direction!)
     if cfg.pcg_adaptive_tol:
@@ -537,6 +635,19 @@ def iteration(
             alpha_d_g = jnp.where(accept, hat_ad, alpha_d_g)
             stopped = stopped | reject
 
+    return dx, dy, dzl, dzu, mu_new, mu_curr, solve_bad
+
+
+def _step_phase(
+    cfg: SolverConfig, prob: DeviceQP, state: IPMState,
+    dx, dy, dzl, dzu, mu_new, mu_curr, solve_bad,
+    del_w, del_c, reg_p, reg_d,
+) -> IPMState:
+    """Step rule + apply step + failure/salvage mapping (reference
+    update_step_size!/apply_step!, src/solver.jl:352-358)."""
+    prob = dataclasses.replace(prob, lb=state.lb, ub=state.ub)
+    x, y, zl, zu = state.x, state.y, state.zl, state.zu
+
     # Step rule (reference update_step_size!, src/kernels.jl:291-358)
     rule = cfg.step_rule
     if isinstance(rule, ConservativeStep):
@@ -604,6 +715,32 @@ def iteration(
     )
 
 
+def iteration(
+    cfg: SolverConfig, prob: DeviceQP, state: IPMState, ax=None, aty=None
+) -> IPMState:
+    """One MPC iteration: the three phases composed (fused under jit; XLA
+    schedules across the phase boundaries exactly as before the split)."""
+    # A x / A' y for the CURRENT iterate, computed once and shared by the
+    # predictor and corrector rhs builds (and, via _loop_body, the
+    # termination check): fp64 A-applications are the dominant per-iteration
+    # cost on TPU (emulated fp64 runs ~24x slower than fp32), so the same
+    # product is never evaluated twice.
+    if ax is None or aty is None:
+        prob_b = dataclasses.replace(prob, lb=state.lb, ub=state.ub)
+        if ax is None:
+            ax = prob_b.matvec(state.x)
+        if aty is None:
+            aty = prob_b.rmatvec(state.y)
+    factors, del_w, del_c, reg_p, reg_d = _factor_phase(cfg, prob, state)
+    dx, dy, dzl, dzu, mu_new, mu_curr, solve_bad = _direction_phase(
+        cfg, prob, state, factors, ax, aty
+    )
+    return _step_phase(
+        cfg, prob, state, dx, dy, dzl, dzu, mu_new, mu_curr, solve_bad,
+        del_w, del_c, reg_p, reg_d,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Drivers
 # ---------------------------------------------------------------------------
@@ -631,6 +768,59 @@ def solve_device(cfg: SolverConfig, prob: DeviceQP) -> Tuple[DeviceQP, ScaleInfo
         lambda s: _loop_body(cfg, prob_s, s),
         state,
     )
+    return prob_s, scale, state
+
+
+def solve_device_chunked(
+    cfg: SolverConfig,
+    prob: DeviceQP,
+    max_wall_time: float,
+    chunk: int = 25,
+) -> Tuple[DeviceQP, ScaleInfo, IPMState]:
+    """Fused solve with an in-loop wall-time guard (reference
+    src/solver.jl:216): runs the device while_loop in chunks of up to
+    ``chunk`` iterations per host round-trip, checking the clock between
+    chunks.  The per-chunk status fetch costs one device sync every
+    ``chunk`` iterations — negligible against the guard it buys; the
+    fully-fused :func:`solve_device` (no guard) remains the benchmark path.
+    """
+    t0 = time.time()
+    init = jax.jit(partial(initialize, cfg))
+
+    def _chunk(prob_, state_):
+        def body(carry):
+            s, i = carry
+            return _loop_body(cfg, prob_, s), i + 1
+
+        def cond(carry):
+            s, i = carry
+            return (s.status == int(Status.REGULAR)) & (i < chunk)
+
+        state_, _ = lax.while_loop(cond, body, (state_, jnp.asarray(0)))
+        return state_
+
+    run_chunk = jax.jit(_chunk)
+    prob_s, scale, state = init(prob)
+    while True:
+        # Fetch forces chunk completion (block_until_ready is unreliable
+        # through the TPU tunnel; see bench.py).
+        import numpy as _np
+
+        status = int(_np.asarray(state.status))
+        if status != int(Status.REGULAR):
+            break
+        if time.time() - t0 >= max_wall_time:
+            # One final termination check: the last chunk's iterate may
+            # already satisfy the (acceptable) tolerance.
+            state = jax.jit(partial(update_termination, cfg))(prob_s, state)
+            if int(_np.asarray(state.status)) == int(Status.REGULAR):
+                state = state._replace(
+                    status=jnp.asarray(
+                        int(Status.MAXIMUM_WALLTIME_EXCEEDED), jnp.int32
+                    )
+                )
+            break
+        state = run_chunk(prob_s, state)
     return prob_s, scale, state
 
 
@@ -672,3 +862,67 @@ def solve_logged(
             break
         state = step(prob_s, state)
     return prob_s, scale, state
+
+
+def solve_timed(
+    cfg: SolverConfig,
+    prob: DeviceQP,
+    max_wall_time: float = 1e6,
+) -> Tuple[DeviceQP, ScaleInfo, IPMState, dict]:
+    """Python-driven loop with per-phase wall timers.
+
+    Returns ``(prob_s, scale, state, timers)`` where ``timers`` carries
+    ``linear_solver_time`` (factorization + KKT solves across the MPC loop
+    — the reference's MadNLPCounters.linear_solver_time recorded per
+    benchmark instance, scripts/benchmarks_cpu.jl:50), plus ``eval_time``
+    (A-matvecs + termination) and ``step_time`` (step rule/apply).
+
+    Accounting notes: the initialization's factorization + two solves land
+    in the caller's init accounting, not here (the reference counts them
+    under linear_solver_time; at >=10 MPC iterations the difference is
+    noise).  Each phase is synced with a host fetch, so on the tunneled TPU
+    every phase carries the ~32 ms round-trip floor — use the fused
+    solve_device for throughput numbers and this driver for the
+    linear-solver-time breakdown.
+    """
+    t0 = time.time()
+    init = jax.jit(partial(initialize, cfg))
+    term = jax.jit(partial(update_termination, cfg))
+
+    def _eval(prob_, state_):
+        p = dataclasses.replace(prob_, lb=state_.lb, ub=state_.ub)
+        return p.matvec(state_.x), p.rmatvec(state_.y)
+
+    evalf = jax.jit(_eval)
+    fact = jax.jit(partial(_factor_phase, cfg))
+    dirs = jax.jit(partial(_direction_phase, cfg))
+    stepf = jax.jit(partial(_step_phase, cfg))
+
+    import numpy as _np
+
+    prob_s, scale, state = init(prob)
+    _np.asarray(state.k)  # sync: init complete before the loop timers start
+    timers = {"linear_solver_time": 0.0, "eval_time": 0.0, "step_time": 0.0}
+    while True:
+        t1 = time.time()
+        ax, aty = evalf(prob_s, state)
+        state = term(prob_s, state, ax, aty)
+        status = int(_np.asarray(state.status))  # sync
+        timers["eval_time"] += time.time() - t1
+        if status != int(Status.REGULAR):
+            break
+        if time.time() - t0 >= max_wall_time:
+            state = state._replace(
+                status=jnp.asarray(int(Status.MAXIMUM_WALLTIME_EXCEEDED), jnp.int32)
+            )
+            break
+        t1 = time.time()
+        factors, del_w, del_c, reg_p, reg_d = fact(prob_s, state)
+        out = dirs(prob_s, state, factors, ax, aty)
+        _np.asarray(out[4])  # sync: mu_new forces factor+direction programs
+        timers["linear_solver_time"] += time.time() - t1
+        t1 = time.time()
+        state = stepf(prob_s, state, *out, del_w, del_c, reg_p, reg_d)
+        _np.asarray(state.k)  # sync
+        timers["step_time"] += time.time() - t1
+    return prob_s, scale, state, timers

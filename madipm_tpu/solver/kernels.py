@@ -322,19 +322,28 @@ def mehrotra_adaptive_step(
 # ---------------------------------------------------------------------------
 
 
-def mehrotra_barrier(prob: DeviceQP, x, zl, zu, mu_affine, mu_min):
+def mehrotra_barrier(
+    prob: DeviceQP, x, zl, zu, mu_affine, mu_min,
+    power=3.0, sigma_min=1e-6, sigma_max=10.0,
+):
     # The reference gates Mehrotra centering on
     # length(ind_llb)+length(ind_uub) > 0 (src/kernels.jl:211) and falls back
     # to sigma = 1 otherwise — a guard against 0/0 when the problem has no
     # bound constraints.  We gate on "any bounded variable exists": for the
     # pure-equality case both agree (sigma irrelevant, mu_curr = 0), while
     # for fully two-sided-bounded problems sigma = 1 would freeze mu and
-    # stall the solver.
+    # stall the solver.  (power, sigma_min, sigma_max) come from the
+    # Mehrotra barrier-update strategy (utils/options.py; reference
+    # update_barrier! dispatch, src/solver.jl:235 + src/kernels.jl:210-220).
     n_bounded = jnp.sum(prob.has_lb) + jnp.sum(prob.has_ub)
     mu_curr = complementarity_measure(prob, x, zl, zu)
     sigma = jnp.where(
         n_bounded > 0,
-        jnp.clip((mu_affine / jnp.maximum(mu_curr, 1e-300)) ** 3, 1e-6, 10.0),
+        jnp.clip(
+            (mu_affine / jnp.maximum(mu_curr, 1e-300)) ** power,
+            sigma_min,
+            sigma_max,
+        ),
         1.0,
     )
     mu_new = jnp.maximum(mu_min, sigma * mu_curr)

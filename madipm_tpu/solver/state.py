@@ -67,6 +67,11 @@ class IPMState(NamedTuple):
     # Consecutive iterations inside acceptable_tol (MadNLP acceptable-level
     # exit semantics the reference inherits; SURVEY §2.4 status machinery)
     n_acceptable: jax.Array  # int32
+    # Primal-stall tracking for the infeasibility-by-stall exit
+    # (driver.update_termination): best scaled inf_pr seen, and the count
+    # of consecutive iterations without >=1% improvement on it.
+    best_pr: jax.Array
+    n_stall: jax.Array  # int32
 
 
 def init_state(n: int, m: int, dtype=jnp.float64) -> IPMState:
@@ -86,4 +91,6 @@ def init_state(n: int, m: int, dtype=jnp.float64) -> IPMState:
         status=jnp.asarray(int(Status.INITIAL), jnp.int32),
         lin_resid=sc(0.0),
         n_acceptable=jnp.asarray(0, jnp.int32),
+        best_pr=sc(jnp.finfo(dtype).max),
+        n_stall=jnp.asarray(0, jnp.int32),
     )

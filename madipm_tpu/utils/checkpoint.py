@@ -31,14 +31,22 @@ def load_state(path: str, dtype=jnp.float64) -> IPMState:
     """Load an IPMState saved by :func:`save_state`."""
     data = np.load(path)
     kwargs = {}
+    int_fields = ("k", "status", "n_acceptable", "n_stall")
     for f in IPMState._fields:
         if f not in data:
-            # Field added after the checkpoint was written: integer counters
-            # restart at 0 (forward-compatible resume).
-            kwargs[f] = jnp.asarray(0, jnp.int32)
+            # Field added after the checkpoint was written
+            # (forward-compatible resume): counters restart at 0; the
+            # best-primal-residual tracker restarts at "no best yet" so
+            # the stall detector cannot misfire on a resumed solve.
+            if f in int_fields:
+                kwargs[f] = jnp.asarray(0, jnp.int32)
+            elif f == "best_pr":
+                kwargs[f] = jnp.asarray(jnp.finfo(dtype).max, dtype)
+            else:
+                kwargs[f] = jnp.asarray(0.0, dtype)
             continue
         arr = data[f]
-        if f in ("k", "status", "n_acceptable"):
+        if f in int_fields:
             kwargs[f] = jnp.asarray(arr, jnp.int32)
         else:
             kwargs[f] = jnp.asarray(arr, dtype)

@@ -88,8 +88,13 @@ class AdaptiveRegularization:
 
 @dataclasses.dataclass(frozen=True)
 class Mehrotra:
-    """Mehrotra centering: sigma = clamp((mu_aff/mu)^3, 1e-6, 10)
-    (reference: src/utils.jl:10-11, src/kernels.jl:210-220)."""
+    """Mehrotra centering: sigma = clamp((mu_aff/mu)^power, sigma_min, sigma_max)
+    (reference: src/utils.jl:10-11, src/kernels.jl:210-220; the reference
+    hard-codes power=3 and clamp [1e-6, 10])."""
+
+    power: float = 3.0
+    sigma_min: float = 1e-6
+    sigma_max: float = 10.0
 
 
 # ---------------------------------------------------------------------------
@@ -185,10 +190,15 @@ class IPMOptions:
     rethrow_error: bool = False
 
     # Termination options
+    # NOTE: the reference also declares `kappa_d`, an IPMOptions-level
+    # `tau_min`, and `mu_superlinear_decrease_power` (src/utils.jl:82,100-101)
+    # but never consumes them anywhere in its source; they are deliberately
+    # NOT reproduced here (silent no-op options are worse than absent ones).
+    # The live tau_min belongs to the AdaptiveStep rule (src/utils.jl:24,
+    # src/kernels.jl:300), mirrored by AdaptiveStep.tau_min above.
     max_iter: int = 3000
     max_wall_time: float = 1e6
     divergence_tol: float = 1e4
-    kappa_d: float = 1e-5
     #: looser tolerance for the acceptable-level exit (MadNLP machinery the
     #: reference inherits): stalling inside acceptable_tol for
     #: acceptable_iter consecutive iterations returns
@@ -216,8 +226,14 @@ class IPMOptions:
     s_max: float = 100.0
     mu_init: float = 1e-1
     mu_min: float = 1e-12
-    mu_superlinear_decrease_power: float = 1.5
-    tau_min: float = 0.99
+    #: balanced-central-path safeguard: floor the barrier at
+    #: ``mu_balance * max(inf_pr, inf_du)`` (scaled residuals) so mu cannot
+    #: collapse orders of magnitude below feasibility — which wrecks the
+    #: KKT conditioning beyond what the mixed-precision solves can handle
+    #: (solver/driver._direction_phase).  Inert on healthy solves
+    #: (feasibility normally leads mu); 0 disables.  No reference analogue
+    #: (its fp64 direct factorizations absorb the collapse differently).
+    mu_balance: float = 1e-2
 
     # Linear solve
     tol_linear_solve: float = 1e-8
@@ -256,6 +272,8 @@ class IPMOptions:
     #:   "emulated" — XLA's double-word fp64 emulation (exact baseline);
     #:   "ozaki"    — error-free bf16 slicing on the MXU (ops/ozaki.py),
     #:                ~2^-44 relative accuracy, several times faster on TPU;
+    #:   "ozaki_i8" — int8 slices (CPU-exact; BLOCKED on TPU — measured
+    #:                inexact and no faster there, see ops/ozaki.py notes);
     #:   "auto"     — "ozaki" on TPU, "emulated" elsewhere.
     fp64_matvec: str = "auto"
 

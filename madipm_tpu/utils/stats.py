@@ -32,6 +32,12 @@ class IPMStats:
     total_time: float = 0.0
     init_time: float = 0.0
     solver_time: float = 0.0
+    #: wall time in KKT factorizations + solves across the MPC loop — the
+    #: reference's MadNLPCounters.linear_solver_time recorded per benchmark
+    #: instance (scripts/benchmarks_cpu.jl:50).  Only measured by the timed
+    #: driver (solver.driver.solve_timed / MPCSolver.solve(timed=True));
+    #: None when the fused device loop ran (phases not separable there).
+    linear_solver_time: Optional[float] = None
     dual_objective: Optional[float] = None
 
     @property

@@ -18,7 +18,7 @@ import math
 import sys
 
 COLS = ["instance", "nvar", "ncon", "nnzj", "nnzh", "status", "iter",
-        "objective", "total_time", "solver_time"]
+        "objective", "total_time", "linear_solver_time"]
 
 #: madipm_tpu.utils.status.Status values that count as "solved"
 #: (SOLVE_SUCCEEDED, SOLVED_TO_ACCEPTABLE_LEVEL, PRESOLVE_SOLVED).
@@ -35,7 +35,7 @@ def read_tsv(path):
             d = dict(zip(COLS, parts))
             for k in ("nvar", "ncon", "nnzj", "nnzh", "status", "iter"):
                 d[k] = int(float(d[k]))
-            for k in ("objective", "total_time", "solver_time"):
+            for k in ("objective", "total_time", "linear_solver_time"):
                 d[k] = float(d[k])
             rows[d["instance"]] = d
     return rows
@@ -88,6 +88,19 @@ def main():
         f"shifted-geomean total_time: {lb}={tb:.3f}s {lc}={tc:.3f}s "
         f"(ratio {tb / tc:.2f}x)" if both_solved else "no commonly-solved instances",
     ]
+    # Linear-solver-time ratio — the reference's headline comparison
+    # (generate_tables.jl:55-72 compares total AND linear-solver time).
+    # Rows record -1 when the run didn't use the timed driver; only
+    # instances timed on both sides enter.
+    timed = [k for k in both_solved
+             if base[k]["linear_solver_time"] >= 0 and cand[k]["linear_solver_time"] >= 0]
+    if timed:
+        lsb = sgm([base[k]["linear_solver_time"] for k in timed])
+        lsc = sgm([cand[k]["linear_solver_time"] for k in timed])
+        summary.append(
+            f"shifted-geomean linear_solver_time ({len(timed)} timed): "
+            f"{lb}={lsb:.3f}s {lc}={lsc:.3f}s (ratio {lsb / lsc:.2f}x)"
+        )
     out = "\n".join(lines + summary) + "\n"
     if args.out:
         with open(args.out, "w") as f:

@@ -193,14 +193,20 @@ def prepare(model, reformulate: bool):
 
 
 def record_row(name, model, stats) -> str:
+    """TSV row: instance nvar ncon nnzj nnzh status iter objective
+    total_time linear_solver_time — the reference's 10 recorded fields
+    (scripts/benchmarks_cpu.jl:42-50).  linear_solver_time is -1 when the
+    run didn't use the timed driver (fused batched mode has no separable
+    phases)."""
     nnzj = model.A.nnz if hasattr(model.A, "nnz") else int(np.count_nonzero(model.A))
     nnzh = 0
     if model.Q is not None:
         nnzh = model.Q.nnz if hasattr(model.Q, "nnz") else int(np.count_nonzero(model.Q))
+    lin = stats.linear_solver_time
     cols = [
         name, model.nvar, model.ncon, nnzj, nnzh,
         int(stats.status), stats.iter, f"{stats.objective:.16e}",
-        f"{stats.total_time:.6f}", f"{stats.solver_time:.6f}",
+        f"{stats.total_time:.6f}", f"{lin:.6f}" if lin is not None else "-1",
     ]
     return "\t".join(str(c) for c in cols)
 
@@ -223,6 +229,10 @@ def main():
                     help="use the ELL sparse Jacobian path (serial mode, LP only) "
                          "for large instances the dense padded layout can't hold")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--timed", action="store_true",
+                    help="serial mode: run the phase-timed driver so each row "
+                         "records linear_solver_time (reference "
+                         "benchmarks_cpu.jl:50); adds per-phase host syncs")
     args = ap.parse_args()
 
     import jax
@@ -286,7 +296,8 @@ def main():
     if args.mode == "serial":
         for name, model, p in prepared:
             try:
-                stats = mt.madipm(p, sparse=True if args.sparse else None, **opts)
+                solver = mt.MPCSolver(p, sparse=True if args.sparse else None, **opts)
+                stats = solver.solve(timed=args.timed)
                 rows.append(record_row(name, p, stats))
                 log(f"{name}: status={stats.status.name} iter={stats.iter} "
                     f"obj={stats.objective:.6e} time={stats.total_time:.3f}s")

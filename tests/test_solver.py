@@ -311,6 +311,82 @@ class TestInfeasibleUnbounded:
         stats = _solve(qp)
         assert not stats.success
 
+    def test_infeasible_by_stall(self):
+        # Conflicting equalities (x0 = 1 and x0 = 3): nothing diverges —
+        # the MPC converges to the least-squares infeasible limit point
+        # (inf_du, compl -> 0, inf_pr stuck at 1).  The stall detector
+        # (driver.update_termination) must classify this as INFEASIBLE
+        # within ~100 stalled iterations instead of grinding to max_iter.
+        qp = mt.from_dense(
+            c=[1.0, 1.0], A=[[1.0, 0.0], [1.0, 0.0]],
+            lcon=[1.0, 3.0], ucon=[1.0, 3.0],
+            lvar=[0.0, 0.0], uvar=[np.inf, np.inf],
+        )
+        stats = _solve(qp, max_iter=500)
+        assert stats.status == mt.Status.INFEASIBLE_PROBLEM_DETECTED
+        assert stats.iter < 300
+
+
+class TestWallTimeAndTimed:
+    def test_chunked_walltime_exceeded(self, rng):
+        # Zero budget + chunk=1: the guard must fire after the first chunk
+        # (reference enforces max_wall_time in-loop, src/solver.jl:216).
+        from madipm_tpu.solver import driver as drv
+
+        c, A, b, lvar, uvar = random_lp(None, 60, 20, seed=3)
+        qp = mt.from_dense(c=c, A=A, lcon=b, ucon=b, lvar=lvar, uvar=uvar)
+        solver = mt.MPCSolver(qp, print_level=mt.PrintLevel.ERROR)
+        _, _, state = drv.solve_device_chunked(
+            solver.cfg, solver.prob, max_wall_time=0.0, chunk=1
+        )
+        assert int(state.status) == int(mt.Status.MAXIMUM_WALLTIME_EXCEEDED)
+
+    def test_chunked_normal_completion(self, rng):
+        c, A, b, lvar, uvar = random_lp(None, 60, 20, seed=4)
+        qp = mt.from_dense(c=c, A=A, lcon=b, ucon=b, lvar=lvar, uvar=uvar)
+        solver = mt.MPCSolver(
+            qp, print_level=mt.PrintLevel.ERROR, max_wall_time=300.0
+        )
+        stats = solver.solve(logged=False)  # routes through the chunked driver
+        assert stats.success
+        ref = scipy_linprog(c, A, b, lvar, uvar)
+        assert abs(stats.objective - ref.fun) < 1e-6 * max(1, abs(ref.fun))
+
+    def test_timed_driver_records_linear_solver_time(self, rng):
+        c, A, b, lvar, uvar = random_lp(None, 60, 20, seed=5)
+        qp = mt.from_dense(c=c, A=A, lcon=b, ucon=b, lvar=lvar, uvar=uvar)
+        solver = mt.MPCSolver(qp, print_level=mt.PrintLevel.ERROR)
+        stats = solver.solve(timed=True)
+        assert stats.success
+        assert stats.linear_solver_time is not None
+        assert 0 < stats.linear_solver_time <= stats.solver_time
+        # same solution as the fused path
+        fused = mt.madipm(qp, print_level=mt.PrintLevel.ERROR)
+        assert abs(stats.objective - fused.objective) < 1e-8 * max(
+            1, abs(fused.objective)
+        )
+
+    def test_rethrow_error(self, rng, monkeypatch):
+        c, A, b, lvar, uvar = random_lp(None, 30, 10, seed=6)
+        qp = mt.from_dense(c=c, A=A, lcon=b, ucon=b, lvar=lvar, uvar=uvar)
+        from madipm_tpu.solver import driver as drv
+
+        def boom(*a, **k):
+            raise RuntimeError("synthetic failure")
+
+        # default: mapped to INTERNAL_ERROR stats (reference try/catch
+        # ladder, src/solver.jl:374-405)
+        solver = mt.MPCSolver(qp, print_level=mt.PrintLevel.ERROR)
+        monkeypatch.setattr(drv, "solve_logged", boom)
+        stats = solver.solve(logged=True)
+        assert stats.status == mt.Status.INTERNAL_ERROR and not stats.success
+        # rethrow_error=True: the exception propagates
+        solver2 = mt.MPCSolver(
+            qp, print_level=mt.PrintLevel.ERROR, rethrow_error=True
+        )
+        with pytest.raises(RuntimeError, match="synthetic failure"):
+            solver2.solve(logged=True)
+
 
 class TestTransformations:
     """Reference: test/runtests.jl:154-164."""
