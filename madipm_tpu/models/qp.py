@@ -146,7 +146,43 @@ def from_dense(c, A, lcon, ucon, lvar, uvar, Q=None, **kw) -> QuadraticModel:
 # ---------------------------------------------------------------------------
 
 
-def standard_form(qp: QuadraticModel) -> QuadraticModel:
+@dataclasses.dataclass
+class StandardFormMap:
+    """Undo record for :func:`standard_form` (primal AND dual maps).
+
+    Dual semantics (stationarity ``c + Qx + A'y - zl + zu = 0``, reference
+    src/kernels.jl:403-430):
+
+    - original rows keep their dual: row i's x-coefficients are unchanged,
+      so ``y_orig[i] = y_std[i]`` (the slack bookkeeping ``-y_i - zl_s +
+      zu_s = 0`` is internal);
+    - a variable upper bound moved into extra row ``x_j + w = xu`` (dual
+      ``y_e``) re-enters x_j's stationarity exactly where ``+zu_j`` used
+      to: ``zu_orig[j] = y_std[m + k]`` (>= 0 at optimality via
+      ``y_e = zl_w``);
+    - moved SLACK upper bounds need nothing: the row dual already carries
+      them.
+    """
+
+    n: int  # original variable count
+    m: int  # original row count
+    ind_ineq: np.ndarray  # inequality rows that got slacks
+    ind_rng: np.ndarray  # range-bounded entries of [x; s] with moved ub
+
+    def duals(self, y_std, zl_std, zu_std):
+        y = np.asarray(y_std)[: self.m].copy()
+        zl = np.asarray(zl_std)[: self.n].copy()
+        zu = np.asarray(zu_std)[: self.n].copy()
+        for k, idx in enumerate(self.ind_rng):
+            if idx < self.n:  # variable (not slack) upper bound moved
+                zu[idx] = max(float(np.asarray(y_std)[self.m + k]), 0.0)
+        return y, zl, zu
+
+    def x(self, x_std):
+        return np.asarray(x_std)[: self.n]
+
+
+def standard_form(qp: QuadraticModel, return_map: bool = False):
     """Reformulate a general QP into standard form.
 
     Matches ``standard_form_qp`` (reference src/utils.jl:345-505):
@@ -227,7 +263,7 @@ def standard_form(qp: QuadraticModel) -> QuadraticModel:
             [[qp.Q, None], [None, sp.csr_matrix((ns + nw, ns + nw))]], format="csr"
         )
 
-    return QuadraticModel(
+    out = QuadraticModel(
         c=np.concatenate([qp.c, np.zeros(ns + nw)]),
         A=A_new,
         lcon=lcon_new,
@@ -241,6 +277,9 @@ def standard_form(qp: QuadraticModel) -> QuadraticModel:
         name=qp.name,
         minimize=qp.minimize,
     )
+    if return_map:
+        return out, StandardFormMap(n=n, m=m, ind_ineq=ind_ineq, ind_rng=ind_rng)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -374,23 +413,27 @@ class DeviceQP:
         return self.A
 
     def matvec(self, x) -> jax.Array:
-        """A @ x (Ozaki bf16-sliced when enabled and x is fp64)."""
+        """A @ x (Ozaki-sliced when enabled and x is fp64)."""
         if self.A_sl is not None and x.dtype == jnp.float64:
             from ..ops import ozaki
 
-            return ozaki.matvec(self.A_sl, x)
+            return ozaki.apply(self.A_sl, x)
         return jnp.dot(self.A, x, preferred_element_type=x.dtype)
 
     def rmatvec(self, y) -> jax.Array:
-        """A' @ y (Ozaki bf16-sliced when enabled and y is fp64)."""
+        """A' @ y (Ozaki-sliced when enabled and y is fp64)."""
         if self.At_sl is not None and y.dtype == jnp.float64:
             from ..ops import ozaki
 
-            return ozaki.matvec(self.At_sl, y)
+            return ozaki.apply(self.At_sl, y)
         return jnp.dot(self.A.T, y, preferred_element_type=y.dtype)
 
-    def with_ozaki(self) -> "DeviceQP":
+    def with_ozaki(self, variant: str = "bf16") -> "DeviceQP":
         """Return a copy carrying Ozaki slicings of A and A' (ops/ozaki.py).
+
+        ``variant``: "bf16" (7 bf16 slices, fp32 MXU accumulation) or "i8"
+        (8 int8 slices, int32 MXU accumulation — 2x peak rate, half the
+        HBM traffic; see ops/ozaki.py module notes).
 
         Must be called AFTER any row/column scaling of A (the slices
         snapshot values).  Requires lane-padded shapes (pad_to_device's
@@ -403,9 +446,9 @@ class DeviceQP:
             return self
         return dataclasses.replace(
             self,
-            A_sl=ozaki.slice_matrix(self.A),
-            At_sl=ozaki.slice_matrix(self.A.T),
-            Q_sl=None if self.Q is None else ozaki.slice_matrix(self.Q),
+            A_sl=ozaki.slice_any(self.A, variant),
+            At_sl=ozaki.slice_any(self.A.T, variant),
+            Q_sl=None if self.Q is None else ozaki.slice_any(self.Q, variant),
         )
 
     def row_inf_norm(self) -> jax.Array:
@@ -443,7 +486,7 @@ class DeviceQP:
         if self.Q_sl is not None and x.dtype == jnp.float64:
             from ..ops import ozaki
 
-            return ozaki.matvec(self.Q_sl, x)
+            return ozaki.apply(self.Q_sl, x)
         return jnp.dot(self.Q, x, preferred_element_type=x.dtype)
 
     def scale_quad(self, obj_scale) -> "DeviceQP":

@@ -170,6 +170,8 @@ def matvec(sm: SlicedMatrix, x) -> jax.Array:  # noqa: E302
     S, C, m, _ = sm.slices.shape
     npad = C * CHUNK
     x = jnp.asarray(x, jnp.float64)
+    if x.shape[0] > npad:
+        raise ValueError(f"x has length {x.shape[0]} > padded columns {npad}")
     if x.shape[0] != npad:
         x = jnp.pad(x, (0, npad - x.shape[0]))
     xs, f = _slice_vector(x, S)  # (S, npad) -> reshape chunked
@@ -187,15 +189,22 @@ def matvec(sm: SlicedMatrix, x) -> jax.Array:  # noqa: E302
 #
 # * slice width drops to 7 bits so every slice (incl. the first, after an
 #   extra halving folded into the row scale) lies in [-64, 64] — int8-safe;
-# * slice-pair products are <= 2^12 and accumulate in the int32 MXU path
-#   (TPU runs s8 x s8 -> s32 at 2x the bf16 rate), exactly, for contraction
-#   lengths up to 2^31 / 2^12 = 2^19 — NO chunking needed, unlike the bf16
-#   scheme whose fp32 accumulator caps chunks at 128;
-# * HBM traffic halves: 8 slices x 1 byte = 8 B/entry vs bf16's
-#   7 x 2 = 14 B/entry — and the matvec is bandwidth-bound.
+# * slice-pair products are <= 2^12 and WOULD accumulate exactly in an
+#   int32 s8 x s8 -> s32 dot for contraction lengths n < 2^19 (at n = 2^19
+#   a maximal-slice sum reaches 2^31, one past int32 max) — no chunking
+#   needed, unlike the bf16 scheme's 128-chunk fp32 accumulator;
+# * HBM traffic would halve: 8 slices x 1 byte vs bf16's 7 x 2 B/entry.
 #
-# Accuracy: 8 slices x 7 bits = 56 bits per operand, the same 2^-56 slicing
-# grid as the bf16 S=7 scheme (which carries 56 bits too).
+# MEASURED REALITY (one v5e, scripts/microbench_ozaki.py): current XLA does
+# NOT lower this s8 dot_general to an integer MXU path — the operator pair
+# runs at 1.42 ms vs the bf16 scheme's 1.33 ms (NO speedup), and accuracy
+# degrades to ~3.4e-6 scaled error (vs 2.7e-17 for bf16): the products
+# evidently round through bf16 passes, destroying the >=12-bit-exact
+# premise.  On CPU the dot is a true integer contraction and the scheme is
+# exact (tests/test_ozaki.py::TestMatvecI8).  Consequently this variant is
+# BLOCKED on TPU (solver/driver.make_config raises) and kept only as a
+# documented negative result + CPU-exact fallback; revisit if XLA grows a
+# native s8 MXU lowering.
 
 T8_BITS = 7
 N8_SLICES = 8
@@ -253,7 +262,13 @@ def matvec_i8(sm: SlicedMatrixI8, x) -> jax.Array:
     is the final weighted fp64 reduction over the S*T exact partials.
     """
     S, m, n = sm.slices.shape
+    if n >= 2 ** 19:
+        raise ValueError(
+            f"matvec_i8 exactness requires contraction length n < 2^19; got {n}"
+        )
     x = jnp.asarray(x, jnp.float64)
+    if x.shape[0] > n:
+        raise ValueError(f"x has length {x.shape[0]} > matrix columns {n}")
     if x.shape[0] != n:
         x = jnp.pad(x, (0, n - x.shape[0]))
     f = _pow2_scale(jnp.max(jnp.abs(x)))
@@ -266,22 +281,19 @@ def matvec_i8(sm: SlicedMatrixI8, x) -> jax.Array:
     )  # (S, m, T) int32, exact
     y = jnp.einsum("smt,st->m", P.astype(jnp.float64), _i8_weights(S, S))
     return sm.row_scale * ((2.0 * f) * y)
-    """y = A @ x with ~2^{-8(S-1)} relative accuracy from bf16 MXU passes.
 
-    x is fp64 of length C*CHUNK (or shorter; zero-padded).  All S^2
-    slice pairs run as ONE chunked dot_general: a triangle truncation
-    (pairs s + t >= S contribute below the slicing floor) was measured
-    SLOWER despite 30% fewer FLOPs — splitting into three rectangular
-    blocks traded one large MXU matmul for three smaller dispatches
-    (291 vs 359 iter/s on the headline bench), so the full all-pairs
-    contraction stays.
-    """
-    S, C, m, _ = sm.slices.shape
-    npad = C * CHUNK
-    x = jnp.asarray(x, jnp.float64)
-    if x.shape[0] != npad:
-        x = jnp.pad(x, (0, npad - x.shape[0]))
-    xs, f = _slice_vector(x, S)  # (S, npad) -> reshape chunked
-    xs = xs.reshape(S, C, CHUNK)
-    y = _pair_block(sm.slices, xs)
-    return sm.row_scale * (f * y)
+
+def slice_any(A, variant: str = "bf16"):
+    """Build slices for ``variant`` ("bf16" or "i8")."""
+    if variant == "bf16":
+        return slice_matrix(A)
+    if variant == "i8":
+        return slice_matrix_i8(A)
+    raise ValueError(f"unknown ozaki variant {variant!r}")
+
+
+def apply(sm, x) -> jax.Array:
+    """Dispatch y = A @ x on the slice container type (trace-time static)."""
+    if isinstance(sm, SlicedMatrixI8):
+        return matvec_i8(sm, x)
+    return matvec(sm, x)

@@ -101,13 +101,32 @@ def main():
         w = d * jax.vmap(ozaki.matvec)(sat, vv)
         return jax.vmap(ozaki.matvec)(sa, w)
 
+    # int8 variant (s8 x s8 -> s32 MXU path: claimed 2x bf16 rate and
+    # 8 B/entry HBM vs bf16's 14 B/entry — verify here before trusting)
+    slice_i8 = jax.jit(jax.vmap(ozaki.slice_matrix_i8))
+    smA8 = slice_i8(Aj)
+    smAT8 = slice_i8(jnp.swapaxes(Aj, 1, 2))
+    for t in (smA8.slices, smAT8.slices):
+        sync(t)
+    y8 = np.asarray(jax.jit(jax.vmap(ozaki.matvec_i8))(smA8, xj))
+    err8 = float(np.max(np.abs(y8 - y_ref) / scale))
+    print(f"scaled i8 matvec error on {backend}: {err8:.3e}",
+          file=sys.stderr, flush=True)
+
+    def pair_i8(sa, sat, d, vv):
+        w = d * jax.vmap(ozaki.matvec_i8)(sat, vv)
+        return jax.vmap(ozaki.matvec_i8)(sa, w)
+
     out = {
         "backend": backend,
         "scaled_err": err,
+        "scaled_err_i8": err8,
         "pair_fp64_emulated_s": timeit(chain(pair_emulated), Aj, dj, vj) / REPS,
         "pair_ozaki_s": timeit(chain(pair_ozaki), smA, smAT, dj, vj) / REPS,
+        "pair_ozaki_i8_s": timeit(chain(pair_i8), smA8, smAT8, dj, vj) / REPS,
     }
     out["speedup"] = out["pair_fp64_emulated_s"] / out["pair_ozaki_s"]
+    out["speedup_i8"] = out["pair_fp64_emulated_s"] / out["pair_ozaki_i8_s"]
     print(json.dumps(out), flush=True)
 
 

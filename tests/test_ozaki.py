@@ -113,6 +113,74 @@ class TestMatvec:
         assert np.max(np.abs(y - y_ref)) < 1e-10 * np.max(np.abs(y_ref))
 
 
+class TestMatvecI8:
+    """int8-slice variant (ops/ozaki.py slice_matrix_i8/matvec_i8) — the
+    same exactness invariants as the bf16 scheme, on int32 accumulation."""
+
+    def test_slices_are_int8_range(self, rng):
+        A = rng.standard_normal((64, 96)) * np.exp(rng.uniform(-6, 6, (64, 1)))
+        sm = ozaki.slice_matrix_i8(jnp.asarray(A))
+        assert sm.slices.dtype == jnp.int8
+        sl = np.asarray(sm.slices, np.int64)
+        assert np.max(np.abs(sl)) <= 64
+
+    def test_reconstruction_error_bound(self, rng):
+        A = rng.standard_normal((64, 96)) * np.exp(rng.uniform(-6, 6, (64, 1)))
+        sm = ozaki.slice_matrix_i8(jnp.asarray(A))
+        S = sm.slices.shape[0]
+        w = 2.0 ** (-7.0 * (np.arange(S) + 1))
+        rec = np.einsum(
+            "smn,s->mn", np.asarray(sm.slices, np.float64), w
+        ) * np.asarray(sm.row_scale)[:, None]
+        bound = np.asarray(sm.row_scale)[:, None] * 2.0 ** (-7 * S)
+        assert np.all(np.abs(rec - A) <= bound)
+
+    @pytest.mark.parametrize("shape", [(128, 128), (256, 512), (384, 128)])
+    def test_accuracy_vs_fp64(self, rng, shape):
+        m, n = shape
+        A = rng.standard_normal((m, n)) * np.exp(rng.uniform(-8, 8, (m, 1)))
+        x = rng.standard_normal(n) * np.exp(rng.uniform(-8, 8, n))
+        sm = ozaki.slice_matrix_i8(jnp.asarray(A))
+        y = np.asarray(ozaki.matvec_i8(sm, jnp.asarray(x)))
+        y_ref = A @ x
+        scale = np.max(np.abs(A), axis=1) * np.max(np.abs(x)) * n
+        # 8 slices x 7 bits = 56-bit grid, same as the bf16 S=7 scheme.
+        assert np.max(np.abs(y - y_ref) / scale) < 2.0 ** -44
+
+    def test_exact_on_representable_data(self, rng):
+        A = np.zeros((128, 128))
+        A[0, :] = 1.0
+        A[1, :64] = 2.0 ** np.arange(-30, 34)
+        A[2, 5] = 3.0
+        x = np.ones(128)
+        sm = ozaki.slice_matrix_i8(jnp.asarray(A))
+        y = np.asarray(ozaki.matvec_i8(sm, jnp.asarray(x)))
+        np.testing.assert_array_equal(y[:3], (A @ x)[:3])
+
+    def test_rejects_overlong_x_and_contraction(self, rng):
+        A = rng.standard_normal((8, 16))
+        sm = ozaki.slice_matrix_i8(jnp.asarray(A))
+        with pytest.raises(ValueError, match="matrix columns"):
+            ozaki.matvec_i8(sm, jnp.ones(17))
+
+    def test_vmap_batches(self, rng):
+        k, m, n = 3, 64, 96
+        A = rng.standard_normal((k, m, n))
+        x = rng.standard_normal((k, n))
+        sm = jax.vmap(ozaki.slice_matrix_i8)(jnp.asarray(A))
+        y = np.asarray(jax.vmap(ozaki.matvec_i8)(sm, jnp.asarray(x)))
+        y_ref = np.einsum("kmn,kn->km", A, x)
+        assert np.max(np.abs(y - y_ref)) < 1e-10 * np.max(np.abs(y_ref))
+
+    def test_dispatcher(self, rng):
+        A = rng.standard_normal((64, 64))
+        x = rng.standard_normal(64)
+        for variant in ("bf16", "i8"):
+            sm = ozaki.slice_any(jnp.asarray(A), variant)
+            y = np.asarray(ozaki.apply(sm, jnp.asarray(x)))
+            assert np.max(np.abs(y - A @ x)) < 1e-10
+
+
 class TestSolverIntegration:
     def test_ozaki_solve_matches_emulated(self, rng):
         import madipm_tpu as mt
@@ -143,6 +211,13 @@ class TestSolverIntegration:
             1.0, abs(st_em.objective)
         )
         assert st_oz.primal_feas < 1e-8 and st_oz.dual_feas < 1e-8
+        # int8 variant: same solve through the i8 slices end to end.
+        st_i8 = mt.madipm(mdl, fp64_matvec="ozaki_i8", **common)
+        assert st_i8.success
+        assert abs(st_i8.objective - st_em.objective) <= 1e-8 * max(
+            1.0, abs(st_em.objective)
+        )
+        assert st_i8.primal_feas < 1e-8 and st_i8.dual_feas < 1e-8
 
     def test_ozaki_qp(self, rng):
         # convex QP: Q matvecs go through the Q slicing (AUGMENTED path).
