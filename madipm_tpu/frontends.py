@@ -230,20 +230,42 @@ def from_mps(
     ruiz = None
     if scale:
         qp, ruiz = scale_qp(qp)
+    sf_map = None
     if reformulate:
-        qp = standard_form(qp)
+        qp, sf_map = standard_form(qp, return_map=True)
 
     stats = madipm(qp, sparse=sparse, **options)
 
-    # Postsolve: undo standard form (first nvar entries), Ruiz, presolve.
+    # Postsolve (reverse order of the forward transforms): standard form ->
+    # Ruiz -> presolve, for the primal AND the multipliers (y, zl, zu) —
+    # the reference's postsolve semantics (src/kernels.jl:403-430 dual
+    # conventions; QuadraticModels.postsolve role).
     nred = (post.keep_cols.size if post is not None else qp0.nvar)
-    x = stats.solution[:nred]
+    if sf_map is not None:
+        x = sf_map.x(stats.solution)
+        y, zl, zu = sf_map.duals(
+            stats.multipliers, stats.multipliers_L, stats.multipliers_U
+        )
+    else:
+        x = stats.solution[:nred]
+        y = stats.multipliers
+        zl = stats.multipliers_L[:nred]
+        zu = stats.multipliers_U[:nred]
     if ruiz is not None:
-        x = ruiz.unscale_solution(x=x)
+        x, y, zl, zu = ruiz.unscale_solution(x=x, y=y, zl=zl, zu=zu)
     if post is not None:
         x = post.x(x)
-    obj = qp0.obj(x)
+        y, zl, zu = post.duals(x, y, zl, zu)
+    # qp0 is the ORIGINAL model (max convention included), so its objective
+    # value is already in user units — no sign flip here (the flip only
+    # applies where the negated model's value is reported).
     stats.solution = x
-    stats.objective = sign * obj
+    stats.objective = qp0.obj(x)
     stats.constraints = qp0.cons(x)
+    # Multipliers are reported for the MINIMIZATION form (for a maximize
+    # model they satisfy stationarity with -c), matching update_solution!
+    # flipping only the objective (reference src/utils.jl:150-156).
+    stats.multipliers = y
+    stats.multipliers_L = zl
+    stats.multipliers_U = zu
     return stats

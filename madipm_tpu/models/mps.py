@@ -174,10 +174,23 @@ def parse_mps(lines: Iterable[str], name: str = "mps") -> QuadraticModel:
                     ranges[row_index[rname]] = val
         elif section == "BOUNDS":
             btype = tok[0].upper()
-            # "BTYPE SET COL [VAL]"
-            cname = tok[2] if len(tok) >= 3 else tok[1]
+            # "BTYPE SET COL [VAL]"; the bound-set name may be omitted
+            # ("BTYPE COL [VAL]") — detected by whether the value-carrying
+            # types find a number in the VAL slot.
+            needs_val = btype in ("UP", "LO", "FX", "UI", "LI")
+            cname, val = None, 0.0
+            if needs_val:
+                if len(tok) >= 4:
+                    cname, val = tok[2], float(tok[3])
+                elif len(tok) == 3:
+                    try:  # omitted set name: "UP COL 4.0"
+                        val = float(tok[2])
+                        cname = tok[1]
+                    except ValueError:
+                        cname = tok[2]  # malformed: value missing, keep 0.0
+            else:  # FR/MI/PL/BV take no value
+                cname = tok[2] if len(tok) >= 3 else tok[1]
             j = col_id(cname)
-            val = float(tok[3]) if len(tok) >= 4 else 0.0
             if btype == "UP":
                 ub[j] = val
                 if val < 0 and j not in explicit_lb:

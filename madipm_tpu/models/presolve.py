@@ -30,7 +30,24 @@ from .qp import INF, QuadraticModel
 
 @dataclasses.dataclass
 class Postsolve:
-    """Maps a reduced-space solution back to the original variables/rows."""
+    """Maps a reduced-space solution back to the original variables/rows.
+
+    Dual mapping (:meth:`duals`) reverses each reduction's effect on the
+    multipliers — the role QuadraticModels.postsolve plays for the
+    reference (consumed via src/utils.jl:327-343; stationarity convention
+    ``c + Qx + A'y - zl + zu = 0`` as in src/kernels.jl:403-430):
+
+    - dropped empty rows get y = 0 (their A'-column is zero);
+    - a singleton row folded into a variable bound reclaims the bound
+      multiplier: if x_j ended active at the bound the ROW introduced,
+      the row dual is ``y_i = -zl_j / a_ij`` (lower) / ``zu_j / a_ij``
+      (upper) and the variable-bound dual is zeroed;
+    - eliminated (fixed / empty) columns recover their reduced cost from
+      original-data stationarity: ``r_j = c_j + (Qx)_j + (A'y)_j``,
+      split as ``zl_j = max(r_j, 0)``, ``zu_j = max(-r_j, 0)`` (both
+      bounds active at a fixed variable, so any split is valid; empty
+      columns sit at the bound their gradient sign selected).
+    """
 
     n_orig: int
     m_orig: int
@@ -39,6 +56,12 @@ class Postsolve:
     fixed_vals: np.ndarray  # [n_orig] values for eliminated variables (0 elsewhere)
     fixed_mask: np.ndarray  # [n_orig] bool
     status: Optional[Status] = None  # set when presolve resolved the problem
+    #: singleton-row folds: (row, col, a_ij, lo, hi, tight_lo, tight_hi)
+    #: where lo/hi are the bound candidates the row imposed on x_col and
+    #: tight_* say whether they strictly tightened the variable's bound.
+    singleton_rows: list = dataclasses.field(default_factory=list)
+    #: the pre-reduction model (original data for dual stationarity).
+    qp_orig: Optional[QuadraticModel] = None
 
     def x(self, x_red: np.ndarray) -> np.ndarray:
         out = self.fixed_vals.copy()
@@ -49,6 +72,36 @@ class Postsolve:
         out = np.zeros(self.m_orig)
         out[self.keep_rows] = y_red
         return out
+
+    def duals(self, x_full, y_red, zl_red, zu_red, tol: float = 1e-7):
+        """Map reduced duals (y, zl, zu) back to the original space; see
+        class docstring.  ``x_full`` is the already-postsolved primal."""
+        y = self.y(np.asarray(y_red))
+        zl = np.zeros(self.n_orig)
+        zu = np.zeros(self.n_orig)
+        zl[self.keep_cols] = np.asarray(zl_red)
+        zu[self.keep_cols] = np.asarray(zu_red)
+
+        # Singleton rows (reverse order: later folds saw earlier bounds).
+        for i, j, aij, lo, hi, tight_lo, tight_hi in reversed(self.singleton_rows):
+            xs = abs(x_full[j]) + 1.0
+            if tight_lo and np.isfinite(lo) and abs(x_full[j] - lo) <= tol * xs and zl[j] > 0:
+                y[i] = -zl[j] / aij
+                zl[j] = 0.0
+            elif tight_hi and np.isfinite(hi) and abs(x_full[j] - hi) <= tol * xs and zu[j] > 0:
+                y[i] = zu[j] / aij
+                zu[j] = 0.0
+
+        # Eliminated columns: reduced cost from original-data stationarity.
+        if self.fixed_mask.any() and self.qp_orig is not None:
+            idx = np.flatnonzero(self.fixed_mask)
+            qp = self.qp_orig
+            r = qp.c[idx] + np.asarray(qp.A[:, idx].T @ y).ravel()
+            if qp.Q is not None:
+                r = r + np.asarray(qp.Q[idx, :] @ x_full).ravel()
+            zl[idx] = np.maximum(r, 0.0)
+            zu[idx] = np.maximum(-r, 0.0)
+        return y, zl, zu
 
 
 def presolve_qp(qp: QuadraticModel, max_passes: int = 5):
@@ -71,6 +124,8 @@ def presolve_qp(qp: QuadraticModel, max_passes: int = 5):
     fixed_vals = np.zeros(n0)
     fixed_mask = np.zeros(n0, dtype=bool)
 
+    singleton_rows: list = []
+
     def make_post(status=None):
         return Postsolve(
             n_orig=n0,
@@ -80,6 +135,8 @@ def presolve_qp(qp: QuadraticModel, max_passes: int = 5):
             fixed_vals=fixed_vals,
             fixed_mask=fixed_mask,
             status=status,
+            singleton_rows=singleton_rows,
+            qp_orig=qp,
         )
 
     def fail(status):
@@ -144,6 +201,12 @@ def presolve_qp(qp: QuadraticModel, max_passes: int = 5):
                 lo, hi = lcon[i] / aij, ucon[i] / aij
                 if aij < 0:
                     lo, hi = hi, lo
+                tight_lo = np.isfinite(lo) and lo > lvar[j]
+                tight_hi = np.isfinite(hi) and hi < uvar[j]
+                singleton_rows.append(
+                    (int(i), int(j), float(aij), float(lo), float(hi),
+                     bool(tight_lo), bool(tight_hi))
+                )
                 lvar[j] = max(lvar[j], lo) if np.isfinite(lo) else lvar[j]
                 uvar[j] = min(uvar[j], hi) if np.isfinite(hi) else uvar[j]
                 row_alive[i] = False

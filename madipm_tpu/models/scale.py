@@ -52,6 +52,8 @@ def ruiz_factors(A: sp.spmatrix, max_iter: int = 20, tol: float = 1e-2):
     m, n = A.shape
     Dr = np.ones(m)
     Dc = np.ones(n)
+    if m == 0 or n == 0 or A.nnz == 0:
+        return Dr, Dc  # nothing to equilibrate (fully presolved problems)
     B = A.tocsr(copy=True).astype(np.float64)
     for _ in range(max_iter):
         Babs = abs(B)

@@ -190,11 +190,34 @@ MpsData* parse_mps_text(const char* text, size_t len) {
         break;
       }
       case BOUNDS: {
-        if (tok.size() < 3) break;
+        if (tok.size() < 2) break;
         std::string bt = upper(tok[0]);
-        const std::string& cn = tok[2];
+        // "BTYPE SET COL [VAL]"; the set name may be omitted
+        // ("BTYPE COL [VAL]") — mirror the Python parser's detection.
+        bool needs_val = (bt == "UP" || bt == "LO" || bt == "FX" ||
+                          bt == "UI" || bt == "LI");
+        std::string cn;
+        double v = 0.0;
+        if (needs_val) {
+          if (tok.size() >= 4) {
+            cn = tok[2];
+            v = std::strtod(tok[3].c_str(), nullptr);
+          } else if (tok.size() == 3) {
+            char* endp = nullptr;
+            double maybe = std::strtod(tok[2].c_str(), &endp);
+            if (endp && *endp == '\0' && endp != tok[2].c_str()) {
+              cn = tok[1];  // omitted set name: "UP COL 4.0"
+              v = maybe;
+            } else {
+              cn = tok[2];  // malformed: value missing, keep 0.0
+            }
+          } else {
+            break;
+          }
+        } else {  // FR/MI/PL/BV take no value
+          cn = (tok.size() >= 3) ? tok[2] : tok[1];
+        }
         int32_t j = col_id(cn);
-        double v = (tok.size() >= 4) ? std::strtod(tok[3].c_str(), nullptr) : 0.0;
         if (bt == "UP") {
           d->uvar[j] = v;
           if (v < 0 && !explicit_lb[j]) d->lvar[j] = -kInf;
