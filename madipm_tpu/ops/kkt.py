@@ -61,6 +61,14 @@ class KKTConfig:
     #: 30.2 iter/s) — default OFF; available for shapes/conditioning where
     #: the factor alone is a weak preconditioner.
     use_flex_pcg: bool = False
+    #: jax.sharding.Mesh for the DISTRIBUTED single-instance path (NORMAL
+    #: KKT only): column-sharded Schur assembly reduce-scattered into row
+    #: strips + distributed panel Cholesky (parallel/dist_chol.py) — the
+    #: m x m matrix and its factor are never materialized on one device.
+    #: None (default) = replicated factorization.  Mesh is hashable, so the
+    #: config stays a valid static jit argument.
+    dist_mesh: Optional[object] = None
+    dist_axis: str = "cols"
 
 
 class NormalFactors(NamedTuple):
@@ -73,6 +81,19 @@ class NormalFactors(NamedTuple):
     Smat: jax.Array  # the Jacobi-scaled S itself (factor dtype): the cheap
     #                  inner operator of the mixed-precision restarted PCG
     #                  (one m×m fp32 matmul vs an emulated-fp64 A-pair)
+
+
+class DistNormalFactors(NamedTuple):
+    """NORMAL factors with the Cholesky row-strip-sharded over a mesh axis
+    (parallel/dist_chol.dist_factor_normal).  Same solve semantics as
+    NormalFactors; the preconditioner application runs distributed."""
+
+    L: jax.Array  # [m, m] lower factor, rows sharded over dist_axis
+    W: jax.Array  # [m, mb] per-strip inverse diagonal blocks (matmul solves)
+    jac: jax.Array  # [m] Jacobi scale (replicated)
+    dinv: jax.Array  # Sigma^-1, fixed/padded cols zeroed (residual dtype)
+    del_c: jax.Array
+    live: jax.Array
 
 
 class CondensedFactors(NamedTuple):
@@ -222,6 +243,41 @@ def factorize(cfg: KKTConfig, prob: DeviceQP, x, zl, zu, del_w, del_c):
 
     def attempt(dw, dc):
         sigma = build_sigma(prob, x, zl, zu, dw)
+        if cfg.kind == KKTSystem.NORMAL and cfg.dist_mesh is not None:
+            # Distributed path: the m x m normal matrix is assembled into
+            # row strips (reduce-scatter) and panel-factored across the
+            # mesh (parallel/dist_chol.py) — never replicated.  Only the
+            # CHOLESKY/CHOLESKY_INV-equivalent matmul-only solve exists
+            # here; flex-PCG's inner operator (full Smat) is deliberately
+            # unsupported (it would re-materialize S).
+            from ..parallel import dist_chol
+
+            free = prob.free_mask
+            dinv = jnp.where(free, 1.0 / sigma, 0.0)
+            shift = (
+                PRECOND_SHIFT
+                if cfg.refinement_steps > 0 and jnp.dtype(cfg.factor_dtype) != rdtype
+                else 0.0
+            )
+            # dinv = 0 on fixed/padded columns already masks them out of
+            # the A D A' product; A itself stays untouched.
+            L, W, jac, live, ok = dist_chol.dist_factor_normal(
+                cfg.dist_mesh,
+                prob.dense_A,
+                dinv,
+                prob.row_mask,
+                dc,
+                shift,
+                cfg.factor_dtype,
+                axis=cfg.dist_axis,
+            )
+            return (
+                DistNormalFactors(
+                    L=L, W=W, jac=jac, dinv=dinv,
+                    del_c=jnp.asarray(dc, rdtype), live=live,
+                ),
+                ok,
+            )
         if cfg.kind == KKTSystem.NORMAL:
             S, dinv, live = _assemble_normal(prob, sigma, dc, cfg.factor_dtype)
             # Jacobi (diagonal) scaling before the low-precision factor: the
@@ -432,7 +488,7 @@ def solve_condensed(
     replacing the reference's residual check + SolveException
     (src/linear_solver.jl:28-43) with active correction.
     """
-    if isinstance(factors, NormalFactors):
+    if isinstance(factors, (NormalFactors, DistNormalFactors)):
         live = factors.live
         dinv = factors.dinv
         r1 = dinv * rx
@@ -441,13 +497,26 @@ def solve_condensed(
 
         jac = factors.jac
 
-        def solve_fn(b):
-            # Preconditioned low-precision solve through the Jacobi scaling:
-            # S = D^1/2 Shat D^1/2  =>  S^-1 b = D^-1/2 Shat^-1 D^-1/2 b
-            bf = (b * jac).astype(factors.L.dtype)
-            if cfg.linear_solver == LinearSolver.CHOLESKY_INV:
-                return block_chol.chol_inv_solve(factors.L, bf) * jac
-            return linalg.cholesky_solve(factors.L, bf) * jac
+        if isinstance(factors, DistNormalFactors):
+            from ..parallel import dist_chol
+
+            def solve_fn(b):
+                # Distributed preconditioner application: strip-sharded
+                # forward/backward substitution (matmul-only local work +
+                # small psums; parallel/dist_chol.dist_chol_solve).
+                bf = (b * jac).astype(factors.L.dtype)
+                y = dist_chol.dist_chol_solve(
+                    cfg.dist_mesh, factors.L, factors.W, bf, cfg.dist_axis
+                )
+                return y * jac
+        else:
+            def solve_fn(b):
+                # Preconditioned low-precision solve through the Jacobi scaling:
+                # S = D^1/2 Shat D^1/2  =>  S^-1 b = D^-1/2 Shat^-1 D^-1/2 b
+                bf = (b * jac).astype(factors.L.dtype)
+                if cfg.linear_solver == LinearSolver.CHOLESKY_INV:
+                    return block_chol.chol_inv_solve(factors.L, bf) * jac
+                return linalg.cholesky_solve(factors.L, bf) * jac
 
         def matvec(v):
             # Exact fp64 operator applied via A twice — S itself is only
@@ -460,7 +529,11 @@ def solve_condensed(
             # the inexact-Newton hook: early IPM iterations tolerate step
             # residuals proportional to mu (driver passes a mu-scaled
             # tolerance when opt.pcg_adaptive_tol is on).
-            mixed = cfg.use_flex_pcg and factors.L.dtype != r2.dtype
+            mixed = (
+                cfg.use_flex_pcg
+                and factors.L.dtype != r2.dtype
+                and isinstance(factors, NormalFactors)  # dist has no Smat
+            )
             if mixed:
                 # Flexible PCG with the fp32 inner CG as preconditioner:
                 # outer Krylov stays on the EXACT fp64 operator (robust past

@@ -114,12 +114,28 @@ def solve_batched(
     """
     fn = jax.vmap(partial(driver.solve_device, cfg))
     if mesh is not None:
+        # The batch dimension must divide the mesh axis for an even shard;
+        # short batches are padded by REPLICATING instance 0 (a solved
+        # duplicate costs nothing extra: every lane runs the same program,
+        # wall time is the max over lanes) and the pad lanes dropped.
+        nsh = mesh.shape[axis]
+        k = jax.tree_util.tree_leaves(probs)[0].shape[0]
+        k_pad = -(-k // nsh) * nsh
+        if k_pad != k:
+            probs = jax.tree_util.tree_map(
+                lambda a: jnp.concatenate(
+                    [a, jnp.repeat(a[:1], k_pad - k, axis=0)], axis=0
+                ),
+                probs,
+            )
         sharding = NamedSharding(mesh, P(axis))
         probs = jax.device_put(probs, sharding)
         fn = jax.jit(fn, in_shardings=(sharding,), out_shardings=sharding)
-    else:
-        fn = jax.jit(fn)
-    return fn(probs)
+        out = fn(probs)
+        if k_pad != k:
+            out = jax.tree_util.tree_map(lambda a: a[:k], out)
+        return out
+    return jax.jit(fn)(probs)
 
 
 def batched_stats(

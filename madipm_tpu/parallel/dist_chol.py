@@ -142,6 +142,75 @@ def dist_chol_solve(mesh: Mesh, L, W, b, axis: str = "cols"):
     return fn(L, W, b)
 
 
+def dist_factor_normal(
+    mesh: Mesh, A, dinv, row_mask, del_c, shift, factor_dtype, axis: str = "cols"
+):
+    """Distributed NORMAL-KKT factorization: column-sharded Schur assembly
+    reduce-scattered into row strips + in-place distributed Cholesky.
+
+    Reproduces ops/kkt._assemble_normal + the Jacobi scaling + the
+    PRECOND_SHIFT semantics of the replicated fp32 factor path, with the
+    m x m matrix never materialized on one device:
+
+        S_strip = psum_scatter(A_k D_k A_k')     [mb, m] per device
+        live/diag pinning + Jacobi D^-1/2 S D^-1/2 + shift
+        L, W = _local_cholesky(strips)           (panel all_gathers)
+
+    Returns (L, W, jac, live, ok): L/W row-strip-sharded over ``axis``,
+    jac/live replicated, ok a replicated scalar for the regularization
+    retry loop (ops/kkt.factorize).
+    """
+    fdt = jnp.dtype(factor_dtype)
+
+    def local(A_k, dinv_k, row_mask_):
+        p = lax.axis_index(axis)
+        nshards = lax.axis_size(axis)
+        m = A_k.shape[0]
+        mb = m // nshards
+        Af = A_k.astype(fdt)
+        df = dinv_k.astype(fdt)
+        S_part = jnp.dot(Af * df[None, :], Af.T, preferred_element_type=fdt)
+        # Reduce-scatter: each device keeps only the row strip it factors
+        # (half the all-reduce traffic of a full psum).
+        S_strip = lax.psum_scatter(S_part, axis, scatter_dimension=0, tiled=True)
+        rows_g = p * mb + jnp.arange(mb)
+        dS_strip = S_strip[jnp.arange(mb), rows_g]
+        dS = lax.all_gather(dS_strip, axis, tiled=True)  # [m] replicated
+        live = row_mask_ & (dS > 0)
+        diag_add = jnp.where(live, -jnp.asarray(del_c, fdt), 1.0 - dS)
+        S_strip = S_strip.at[jnp.arange(mb), rows_g].add(
+            lax.dynamic_slice(diag_add, (p * mb,), (mb,))
+        )
+        d_new = dS + diag_add
+        jac = lax.rsqrt(jnp.maximum(d_new, jnp.finfo(fdt).tiny))  # [m] replicated
+        jac_strip = lax.dynamic_slice(jac, (p * mb,), (mb,))
+        Shat = S_strip * jac_strip[:, None] * jac[None, :]
+        if shift:
+            Shat = Shat.at[jnp.arange(mb), rows_g].add(jnp.asarray(shift, fdt))
+        L_p, W_p = _local_cholesky(mesh, axis, Shat)
+        diag_L = L_p[jnp.arange(mb), rows_g]
+        ok_local = (
+            jnp.all(jnp.isfinite(L_p))
+            & jnp.all(jnp.isfinite(W_p))
+            & jnp.all(diag_L > 0)
+        )
+        ok = lax.psum(ok_local.astype(jnp.int32), axis) == nshards
+        return L_p, W_p, jac, live, ok
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(axis), P(None)),
+        out_specs=(P(axis, None), P(axis, None), P(None), P(None), P()),
+        # jac/live/ok ARE replicated (derived from all_gather/psum results
+        # and replicated inputs), but the static vma checker cannot infer it
+        # through the closed-over del_c/shift scalars; replication is pinned
+        # numerically by tests/test_parallel.py::TestIntegratedDistFactor.
+        check_vma=False,
+    )
+    return fn(A, dinv, row_mask)
+
+
 def schur_normal_solve_dist(
     mesh: Mesh, A, dinv, rx, rp, row_mask, del_c, axis: str = "cols"
 ):

@@ -64,9 +64,30 @@ def shard_columns(prob: DeviceQP, mesh: Mesh, axis: str = "cols") -> DeviceQP:
     )
 
 
-def solve_sharded(cfg: driver.SolverConfig, prob: DeviceQP, mesh: Mesh, axis: str = "cols"):
+def solve_sharded(
+    cfg: driver.SolverConfig,
+    prob: DeviceQP,
+    mesh: Mesh,
+    axis: str = "cols",
+    distribute_factor: bool = True,
+):
     """Run the standard solve with column shardings; XLA inserts the
-    psum/all-gather collectives for the S assembly and A'y products."""
+    psum/all-gather collectives for the S assembly and A'y products.
+
+    ``distribute_factor=True`` (default, NORMAL KKT) additionally routes
+    the per-iteration factorization through the distributed strip Cholesky
+    (parallel/dist_chol.dist_factor_normal): the m x m factor itself is
+    partitioned across the mesh instead of replicated on every device —
+    SURVEY §7 step 7, and the lever for m x m factors that exceed one
+    device's HBM.  Requires m divisible by the mesh axis size.
+    """
+    from ..utils.options import KKTSystem
+
+    if distribute_factor and cfg.kkt.kind == KKTSystem.NORMAL:
+        cfg = dataclasses.replace(
+            cfg,
+            kkt=dataclasses.replace(cfg.kkt, dist_mesh=mesh, dist_axis=axis),
+        )
     prob = shard_columns(prob, mesh, axis)
     fn = jax.jit(partial(driver.solve_device, cfg))
     return fn(prob)

@@ -162,3 +162,65 @@ class TestDistCholesky:
         dx_ref = dinv * (rx - A.T @ dy_ref)
         assert np.allclose(np.asarray(dy), dy_ref, atol=1e-7)
         assert np.allclose(np.asarray(dx), dx_ref, atol=1e-7)
+
+
+class TestIntegratedDistFactor:
+    """The distributed factorization INSIDE the solver (VERDICT.md item 3):
+    cfg.kkt.dist_mesh routes every per-iteration NORMAL factorize/solve
+    through parallel/dist_chol.dist_factor_normal — the m x m factor is
+    strip-sharded, never replicated."""
+
+    def _solve_pair(self, n, m, seed, **opts):
+        mesh = make_mesh(8, axis_names=("cols",))
+        c, A, b, lvar, uvar = random_lp(None, n, m, seed=seed)
+        qp = mt.from_dense(c=c, A=A, lcon=b, ucon=b, lvar=lvar, uvar=uvar)
+        solver = mt.MPCSolver(
+            qp, print_level=mt.PrintLevel.ERROR, pad_multiple=128, **opts
+        )
+        # single-device reference
+        import jax as _jax
+
+        run = _jax.jit(driver.solve_device, static_argnums=0)
+        _, scale1, st1 = run(solver.cfg, solver.prob)
+        # distributed factor
+        _, scale2, st2 = solve_sharded(
+            solver.cfg, solver.prob, mesh, distribute_factor=True
+        )
+        return solver, scale1, st1, scale2, st2
+
+    def test_full_solve_parity(self):
+        solver, scale1, st1, scale2, st2 = self._solve_pair(96, 24, seed=77)
+        assert int(st2.status) == int(st1.status)
+        # identical iterate path: same factorization math, same iteration
+        # count; objectives match to solver tolerance
+        assert int(st2.k) == int(st1.k)
+        s1 = solver._build_stats(scale1, st1, 0.0)
+        s2 = solver._build_stats(scale2, st2, 0.0)
+        assert s2.objective == pytest.approx(s1.objective, abs=1e-8)
+        np.testing.assert_allclose(s2.solution, s1.solution, atol=1e-6)
+
+    def test_fp32_factor_parity(self):
+        # the TPU config: fp32 strip factor + fp64 PCG recovery
+        solver, scale1, st1, scale2, st2 = self._solve_pair(
+            96, 24, seed=78,
+            linear_solver=mt.LinearSolver.CHOLESKY_INV,
+            factor_dtype="float32",
+            refinement_steps=6,
+        )
+        assert int(st2.status) == int(st1.status)
+        s1 = solver._build_stats(scale1, st1, 0.0)
+        s2 = solver._build_stats(scale2, st2, 0.0)
+        assert s2.objective == pytest.approx(s1.objective, abs=1e-7)
+
+    def test_mesh_via_mpcsolver(self):
+        # MPCSolver(mesh=...) end-to-end: pad raised to 128*8, solve ok.
+        mesh = make_mesh(8, axis_names=("cols",))
+        c, A, b, lvar, uvar = random_lp(None, 80, 20, seed=79)
+        qp = mt.from_dense(c=c, A=A, lcon=b, ucon=b, lvar=lvar, uvar=uvar)
+        solver = mt.MPCSolver(qp, mesh=mesh, print_level=mt.PrintLevel.ERROR)
+        assert solver.cfg.kkt.dist_mesh is mesh
+        assert solver.prob.m % (8 * 128) == 0
+        stats = solver.solve(logged=False)
+        assert stats.success
+        ref = scipy_linprog(c, A, b, lvar, uvar)
+        assert stats.objective == pytest.approx(ref.fun, abs=1e-5)
