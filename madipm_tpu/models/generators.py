@@ -179,6 +179,56 @@ def portfolio_qp(n_assets: int, n_factors: int, seed: int = 0,
     )
 
 
+def known_optimum_lp(m: int, n: int, seed: int = 0, density: float = 0.2,
+                     degenerate: bool = False, name: str = None):
+    """LP with an exactly-constructed primal-dual optimal pair.
+
+    Build (x*, y*, zl*) satisfying the KKT conditions BY CONSTRUCTION
+    (stationarity c + A'y - zl = 0, the solver's sign convention,
+    solver/kernels.py), so correctness can be validated to machine
+    precision with NO oracle solver — the offline substitute for the
+    "rel-KKT <= 1e-8 on Netlib" check (BASELINE.json north star):
+
+    - basic variables: x*_j > 0 interior, zl*_j = 0;
+    - nonbasic: x*_j = 0 at the lower bound, zl*_j > 0;
+    - ``degenerate=True`` additionally zeroes some basic x* values and
+      some nonbasic zl* values (primal + dual degeneracy — where
+      crossover-free IPMs and step rules actually get stressed).
+
+    Returns (model, info) with info = dict(x=x*, y=y*, zl=zl*,
+    obj=c'x*).
+    """
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((m, n)) * (rng.random((m, n)) < density)
+    empty = np.flatnonzero(np.abs(A).sum(axis=1) == 0)
+    for r in empty:
+        A[r, rng.integers(n)] = 1.0
+    # primal: at least m basic variables so b = A x* is generically
+    # attainable with the rest at their bound
+    n_basic = min(n, m + max(1, n // 4))
+    basic = np.zeros(n, dtype=bool)
+    basic[rng.permutation(n)[:n_basic]] = True
+    x = np.where(basic, rng.random(n) + 0.5, 0.0)
+    # dual: y free; zl = 0 on basic, > 0 on nonbasic
+    y = rng.standard_normal(m)
+    zl = np.where(basic, 0.0, rng.random(n) + 0.2)
+    if degenerate:
+        bidx = np.flatnonzero(basic)
+        nidx = np.flatnonzero(~basic)
+        x[rng.choice(bidx, size=max(1, bidx.size // 8), replace=False)] = 0.0
+        if nidx.size:
+            zl[rng.choice(nidx, size=max(1, nidx.size // 8), replace=False)] = 0.0
+    c = zl - A.T @ y  # stationarity: c + A'y - zl = 0 exactly
+    b = A @ x
+    model = QuadraticModel(
+        c=c, A=sp.csr_matrix(A), lcon=b, ucon=b, lvar=np.zeros(n),
+        uvar=np.full(n, np.inf),
+        name=name or f"known_{m}x{n}{'_deg' if degenerate else ''}",
+    )
+    info = dict(x=x, y=y, zl=zl, obj=float(c @ x))
+    return model, info
+
+
 def structured_suite(scale: int = 1, seed0: int = 7):
     """A mixed suite of structured instances at roughly Netlib scale
     (multiply dimensions by ``scale``)."""

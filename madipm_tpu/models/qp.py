@@ -421,19 +421,27 @@ class DeviceQP:
         return jnp.dot(self.A, x, preferred_element_type=x.dtype)
 
     def rmatvec(self, y) -> jax.Array:
-        """A' @ y (Ozaki-sliced when enabled and y is fp64)."""
-        if self.At_sl is not None and y.dtype == jnp.float64:
+        """A' @ y (Ozaki-sliced when enabled and y is fp64).  With shared
+        slices (At_sl is None but A_sl present), the transpose runs as the
+        m-chunked contraction over the FORWARD slices (ozaki.matvec_t) —
+        no transposed slice copy in HBM."""
+        if y.dtype == jnp.float64:
             from ..ops import ozaki
 
-            return ozaki.apply(self.At_sl, y)
+            if self.At_sl is not None:
+                return ozaki.apply(self.At_sl, y)
+            if self.A_sl is not None:
+                return ozaki.apply_t(self.A_sl, y)
         return jnp.dot(self.A.T, y, preferred_element_type=y.dtype)
 
-    def with_ozaki(self, variant: str = "bf16") -> "DeviceQP":
-        """Return a copy carrying Ozaki slicings of A and A' (ops/ozaki.py).
+    def with_ozaki(self, variant: str = "bf16", share_slices: bool = False) -> "DeviceQP":
+        """Return a copy carrying Ozaki slicings of A (and A') (ops/ozaki.py).
 
         ``variant``: "bf16" (7 bf16 slices, fp32 MXU accumulation) or "i8"
-        (8 int8 slices, int32 MXU accumulation — 2x peak rate, half the
-        HBM traffic; see ops/ozaki.py module notes).
+        (8 int8 slices; CPU-only — see ops/ozaki.py measured notes).
+        ``share_slices=True`` stores only the forward slices and evaluates
+        A'-matvecs via the transposed chunked contraction (ozaki.matvec_t)
+        — halves the slice HBM footprint (the m=4096 lever).
 
         Must be called AFTER any row/column scaling of A (the slices
         snapshot values).  Requires lane-padded shapes (pad_to_device's
@@ -447,7 +455,7 @@ class DeviceQP:
         return dataclasses.replace(
             self,
             A_sl=ozaki.slice_any(self.A, variant),
-            At_sl=ozaki.slice_any(self.A.T, variant),
+            At_sl=None if share_slices else ozaki.slice_any(self.A.T, variant),
             Q_sl=None if self.Q is None else ozaki.slice_any(self.Q, variant),
         )
 

@@ -283,6 +283,63 @@ def matvec_i8(sm: SlicedMatrixI8, x) -> jax.Array:
     return sm.row_scale * ((2.0 * f) * y)
 
 
+def matvec_t(sm: SlicedMatrix, v) -> jax.Array:
+    """y = A' @ v computed from the FORWARD slices — no transposed slice
+    copy stored (halves the dominant HBM cost of the Ozaki operator pair;
+    at m=4096/n=8192 the stored A'-slices alone were ~470 MB/instance).
+
+    A = diag(row_scale) rec with rec the slice reconstruction, so
+    A' v = rec' (row_scale * v).  Exactness transposes cleanly: the
+    contraction now runs over m, chunked in 128-blocks (pad_to_device
+    guarantees m % 128 == 0), so every slice-pair partial stays an
+    integer sum <= 128 * 2^16 = 2^23 in the fp32 accumulator — the same
+    bound as the forward direction's n-chunking.
+    """
+    S, C, m, _ = sm.slices.shape
+    if m % CHUNK:
+        raise ValueError(f"matvec_t requires rows divisible by {CHUNK}; got {m}")
+    v = jnp.asarray(v, jnp.float64)
+    if v.shape[0] != m:
+        raise ValueError(f"v has length {v.shape[0]}, expected {m}")
+    w = sm.row_scale * v
+    ws, f = _slice_vector(w, S)  # (S, m)
+    M = m // CHUNK
+    ws = ws.reshape(S, M, CHUNK)
+    a = sm.slices.reshape(S, C, M, CHUNK, CHUNK)  # [s, c, mchunk, mlane, nlane]
+    out = jax.lax.dot_general(
+        a,
+        ws,
+        dimension_numbers=(((3,), (2,)), ((2,), (1,))),
+        preferred_element_type=jnp.float32,
+    )  # (M, S, C, CHUNK_n, T)
+    y = jnp.sum(out.astype(jnp.float64), axis=(0, 1, 4))  # (C, CHUNK_n)
+    return f * y.reshape(C * CHUNK)
+
+
+def matvec_t_i8(sm: SlicedMatrixI8, v) -> jax.Array:
+    """y = A' @ v from the forward int8 slices (CPU-exact variant; the
+    contraction over m needs no chunking below 2^19 rows)."""
+    S, m, n = sm.slices.shape
+    if m >= 2 ** 19:
+        raise ValueError(
+            f"matvec_t_i8 exactness requires m < 2^19 rows; got {m}"
+        )
+    v = jnp.asarray(v, jnp.float64)
+    if v.shape[0] != m:
+        raise ValueError(f"v has length {v.shape[0]}, expected {m}")
+    w = sm.row_scale * v
+    f = _pow2_scale(jnp.max(jnp.abs(w)))
+    ws = _fixed_point_slices_i8(w / (2.0 * f), S)  # (T, m) int8
+    P = jax.lax.dot_general(
+        sm.slices,
+        ws,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (S, n, T) int32, exact
+    y = jnp.einsum("snt,st->n", P.astype(jnp.float64), _i8_weights(S, S))
+    return (2.0 * f) * y
+
+
 def slice_any(A, variant: str = "bf16"):
     """Build slices for ``variant`` ("bf16" or "i8")."""
     if variant == "bf16":
@@ -297,3 +354,10 @@ def apply(sm, x) -> jax.Array:
     if isinstance(sm, SlicedMatrixI8):
         return matvec_i8(sm, x)
     return matvec(sm, x)
+
+
+def apply_t(sm, v) -> jax.Array:
+    """Dispatch y = A' @ v on the slice container type."""
+    if isinstance(sm, SlicedMatrixI8):
+        return matvec_t_i8(sm, v)
+    return matvec_t(sm, v)

@@ -79,6 +79,9 @@ class SolverConfig:
     #: "bf16" (7 bf16 slices, fp32 accumulation) or "i8" (8 int8 slices,
     #: int32 accumulation) — see ops/ozaki.py module notes.
     ozaki_variant: str = "bf16"
+    #: None = auto (share the forward slices for A'-matvecs when the slice
+    #: pair would exceed ~1 GB); see IPMOptions.ozaki_share_slices.
+    ozaki_share_slices: Optional[bool] = None
 
 
 def make_config(
@@ -186,6 +189,7 @@ def make_config(
         mu_balance=opt.mu_balance,
         use_ozaki=use_ozaki,
         ozaki_variant=ozaki_variant,
+        ozaki_share_slices=opt.ozaki_share_slices,
     )
 
 
@@ -311,7 +315,16 @@ def initialize(cfg: SolverConfig, prob: DeviceQP) -> Tuple[DeviceQP, "ScaleInfo"
     # slice-pair scheme (49 gather passes) would be a large net loss
     # there, unlike the matmul-shaped dense path's 24x.
     if cfg.use_ozaki and hasattr(prob_s, "with_ozaki"):
-        prob_s = prob_s.with_ozaki(cfg.ozaki_variant)
+        share = cfg.ozaki_share_slices
+        if share is None:
+            # Auto: keep the (slightly faster) stored transpose while the
+            # slice pair is cheap; share the forward slices once the pair
+            # would exceed ~1 GB of HBM (the m=4096 regime that OOMed the
+            # two-copy layout, BASELINE.md).
+            m_, n_ = prob_s.A.shape
+            pair_bytes = 2 * 7 * 2 * m_ * n_  # two copies x S=7 x bf16
+            share = pair_bytes > 1 << 30
+        prob_s = prob_s.with_ozaki(cfg.ozaki_variant, share_slices=share)
 
     # --- Initial regularization + gradient/norms
     del_w, del_c, reg_p, reg_d = _init_regularization(cfg, dtype)

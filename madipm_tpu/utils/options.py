@@ -277,6 +277,12 @@ class IPMOptions:
     #:   "auto"     — "ozaki" on TPU, "emulated" elsewhere.
     fp64_matvec: str = "auto"
 
+    #: store only the FORWARD Ozaki slices and run A'-matvecs through the
+    #: transposed chunked contraction (ops/ozaki.matvec_t) — halves the
+    #: slice HBM footprint (the m=4096 batch-size lever).  None = auto:
+    #: share when the slice pair would exceed ~1 GB.
+    ozaki_share_slices: Optional[bool] = None
+
     def resolved_kkt(self, is_qp: bool) -> KKTSystem:
         if self.kkt_system is not None:
             return self.kkt_system

@@ -113,6 +113,69 @@ class TestMatvec:
         assert np.max(np.abs(y - y_ref)) < 1e-10 * np.max(np.abs(y_ref))
 
 
+class TestMatvecT:
+    """Transposed matvec from the FORWARD slices (ozaki.matvec_t): the
+    shared-slice memory layout (halves slice HBM; the m=4096 lever)."""
+
+    @pytest.mark.parametrize("shape", [(128, 128), (256, 512), (384, 128)])
+    def test_accuracy_vs_fp64(self, rng, shape):
+        m, n = shape
+        A = rng.standard_normal((m, n)) * np.exp(rng.uniform(-8, 8, (m, 1)))
+        v = rng.standard_normal(m) * np.exp(rng.uniform(-8, 8, m))
+        sm = ozaki.slice_matrix(jnp.asarray(A))
+        y = np.asarray(ozaki.matvec_t(sm, jnp.asarray(v)))
+        y_ref = A.T @ v
+        scale = np.max(np.abs(A)) * np.max(np.abs(v)) * m
+        assert np.max(np.abs(y[:n] - y_ref) / scale) < 2.0 ** -44
+
+    def test_matches_stored_transpose(self, rng):
+        m, n = 256, 384
+        A = rng.standard_normal((m, n)) * np.exp(rng.uniform(-4, 4, (m, 1)))
+        v = rng.standard_normal(m)
+        sm = ozaki.slice_matrix(jnp.asarray(A))
+        smT = ozaki.slice_matrix(jnp.asarray(A.T))
+        y_shared = np.asarray(ozaki.matvec_t(sm, jnp.asarray(v)))
+        y_stored = np.asarray(ozaki.matvec(smT, jnp.asarray(v)))
+        ref = A.T @ v
+        scale = np.max(np.abs(A)) * np.max(np.abs(v)) * m
+        assert np.max(np.abs(y_shared[:n] - ref) / scale) < 2.0 ** -44
+        assert np.max(np.abs(y_stored[:n] - ref) / scale) < 2.0 ** -44
+
+    def test_i8_transpose(self, rng):
+        m, n = 128, 192
+        A = rng.standard_normal((m, n)) * np.exp(rng.uniform(-6, 6, (m, 1)))
+        v = rng.standard_normal(m)
+        sm = ozaki.slice_matrix_i8(jnp.asarray(A))
+        y = np.asarray(ozaki.matvec_t_i8(sm, jnp.asarray(v)))
+        ref = A.T @ v
+        scale = np.max(np.abs(A)) * np.max(np.abs(v)) * m
+        assert np.max(np.abs(y - ref) / scale) < 2.0 ** -44
+
+    def test_solver_with_shared_slices(self, rng):
+        import madipm_tpu as mt
+
+        m, n = 40, 90
+        A = np.asarray(rng.standard_normal((m, n)))
+        b = A @ (rng.random(n) + 0.5)
+        mdl = mt.from_dense(
+            c=rng.random(n) + 0.1, A=A, lcon=b, ucon=b,
+            lvar=np.zeros(n), uvar=np.full(n, np.inf),
+        )
+        common = dict(
+            print_level=mt.PrintLevel.ERROR,
+            linear_solver=mt.LinearSolver.CHOLESKY_INV,
+            factor_dtype="float32",
+            refinement_steps=6,
+            fp64_matvec="ozaki",
+        )
+        st_two = mt.madipm(mdl, ozaki_share_slices=False, **common)
+        st_one = mt.madipm(mdl, ozaki_share_slices=True, **common)
+        assert st_two.success and st_one.success
+        assert abs(st_one.objective - st_two.objective) <= 1e-8 * max(
+            1.0, abs(st_two.objective)
+        )
+
+
 class TestMatvecI8:
     """int8-slice variant (ops/ozaki.py slice_matrix_i8/matvec_i8) — the
     same exactness invariants as the bf16 scheme, on int32 accumulation."""

@@ -594,3 +594,48 @@ class TestRankDeficient:
         assert ref.success and st.success, (ref.status, st.status)
         assert st.objective == pytest.approx(ref.objective, rel=1e-6)
         assert st.primal_feas < 1e-8 and st.dual_feas < 1e-8
+
+
+class TestKnownOptimum:
+    """LPs with exactly-constructed primal-dual optimal pairs
+    (models/generators.known_optimum_lp): correctness to rel-KKT <= 1e-8
+    with NO oracle — the offline stand-in for the Netlib rel-KKT check
+    (BASELINE.json north star)."""
+
+    @staticmethod
+    def _rel_kkt(qp, st):
+        x, y, zl, zu = st.solution, st.multipliers, st.multipliers_L, st.multipliers_U
+        A = qp.A.toarray()
+        r_p = np.max(np.abs(A @ x - qp.lcon)) / max(1.0, np.max(np.abs(qp.lcon)))
+        r_d = np.max(np.abs(qp.c + A.T @ y - zl + zu)) / max(1.0, np.max(np.abs(qp.c)))
+        compl = np.max(np.abs(x * zl)) / max(1.0, np.max(np.abs(qp.c)))
+        return max(r_p, r_d, compl)
+
+    @pytest.mark.parametrize("m,n,deg", [(24, 64, False), (24, 64, True),
+                                         (48, 128, True)])
+    def test_exact_objective_and_kkt(self, m, n, deg):
+        from madipm_tpu.models.generators import known_optimum_lp
+
+        qp, info = known_optimum_lp(m, n, seed=m + n + deg, degenerate=deg)
+        st = _solve(qp)
+        assert st.success
+        scale = max(1.0, abs(info["obj"]))
+        assert abs(st.objective - info["obj"]) <= 1e-7 * scale
+        assert self._rel_kkt(qp, st) <= 1e-7
+
+    def test_fp32_factor_config(self):
+        # the TPU benchmark config must hit the same certificate
+        from madipm_tpu.models.generators import known_optimum_lp
+
+        qp, info = known_optimum_lp(32, 96, seed=5, degenerate=True)
+        st = _solve(
+            qp,
+            linear_solver=mt.LinearSolver.CHOLESKY_INV,
+            factor_dtype="float32",
+            refinement_steps=6,
+            pcg_adaptive_tol=True,
+            regularization=mt.FixedRegularization(1e-8, -1e-8),
+        )
+        assert st.success
+        assert abs(st.objective - info["obj"]) <= 1e-6 * max(1.0, abs(info["obj"]))
+        assert self._rel_kkt(qp, st) <= 1e-6
