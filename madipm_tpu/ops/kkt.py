@@ -69,6 +69,17 @@ class KKTConfig:
     #: config stays a valid static jit argument.
     dist_mesh: Optional[object] = None
     dist_axis: str = "cols"
+    #: XLA matmul precision for factor-dtype work (normal-matrix assembly,
+    #: the blocked factorization, and every preconditioner application) when
+    #: the factor runs BELOW the residual precision.  The benchmarks set the
+    #: GLOBAL default to "highest", which makes every fp32 dot a 6-pass bf16
+    #: emulation on TPU — correct for fp64-critical math but wasted on a
+    #: factor that is only a PCG preconditioner behind the exact fp64
+    #: operator.  "high" = 3 bf16 passes (~fp32-quality products),
+    #: "default" = 1 pass.  None inherits the global setting.  Ignored when
+    #: factor_dtype == residual dtype (a full-precision factor IS the
+    #: solution path and must not be degraded).
+    factor_precision: Optional[str] = None
 
 
 class NormalFactors(NamedTuple):
@@ -241,7 +252,7 @@ def factorize(cfg: KKTConfig, prob: DeviceQP, x, zl, zu, del_w, del_c):
     """
     rdtype = prob.dtype
 
-    def attempt(dw, dc):
+    def _attempt_inner(dw, dc):
         sigma = build_sigma(prob, x, zl, zu, dw)
         if cfg.kind == KKTSystem.NORMAL and cfg.dist_mesh is not None:
             # Distributed path: the m x m normal matrix is assembled into
@@ -396,6 +407,21 @@ def factorize(cfg: KKTConfig, prob: DeviceQP, x, zl, zu, del_w, del_c):
                     ok,
                 )
 
+    # Factor-precision override (see KKTConfig.factor_precision): applies to
+    # the WHOLE attempt — normal/condensed/augmented assembly and the blocked
+    # factorization are all factor-dtype matmuls; the fp64-critical math in
+    # here (build_sigma, mask logic) is elementwise and unaffected by matmul
+    # precision.  Gated to below-residual-precision factors only.
+    prec = cfg.factor_precision
+    if prec is not None and jnp.dtype(cfg.factor_dtype) == rdtype:
+        prec = None
+
+    def attempt(dw, dc):
+        if prec is None:
+            return _attempt_inner(dw, dc)
+        with jax.default_matmul_precision(prec):
+            return _attempt_inner(dw, dc)
+
     factors0, ok0 = attempt(del_w, del_c)
 
     def cond(carry):
@@ -488,6 +514,25 @@ def solve_condensed(
     replacing the reference's residual check + SolveException
     (src/linear_solver.jl:28-43) with active correction.
     """
+    # Factor-precision override for PRECONDITIONER applications (see
+    # KKTConfig.factor_precision): every inner solve here is factor-dtype
+    # matmuls sitting behind the exact fp64 Krylov operator, so they only
+    # need preconditioner quality.  The fp64 operator itself (``matvec``
+    # below, via prob.matvec/rmatvec) stays OUTSIDE the context.
+    fprec = cfg.factor_precision
+    if fprec is not None and jnp.dtype(cfg.factor_dtype) == rx.dtype:
+        fprec = None
+
+    def _with_fprec(f):
+        if fprec is None:
+            return f
+
+        def g(b):
+            with jax.default_matmul_precision(fprec):
+                return f(b)
+
+        return g
+
     if isinstance(factors, (NormalFactors, DistNormalFactors)):
         live = factors.live
         dinv = factors.dinv
@@ -517,6 +562,8 @@ def solve_condensed(
                 if cfg.linear_solver == LinearSolver.CHOLESKY_INV:
                     return block_chol.chol_inv_solve(factors.L, bf) * jac
                 return linalg.cholesky_solve(factors.L, bf) * jac
+
+        solve_fn = _with_fprec(solve_fn)
 
         def matvec(v):
             # Exact fp64 operator applied via A twice — S itself is only
@@ -583,6 +630,8 @@ def solve_condensed(
                 return block_chol.chol_inv_solve(factors.L, bf) * jac
             return linalg.cholesky_solve(factors.L, bf) * jac
 
+        solve_fn = _with_fprec(solve_fn)
+
         def matvec(v):
             vx = jnp.where(free, v, 0.0)
             cv = factors.sigma * vx + gamma * prob.rmatvec(
@@ -634,7 +683,7 @@ def solve_condensed(
             raw = lambda b: linalg.ldl_solve(
                 factors.Lfac, factors.dfac, b.astype(factors.Lfac.dtype)
             )
-        solve_fn = lambda b: (jac * raw((b * jac))).astype(rx.dtype)
+        solve_fn = _with_fprec(lambda b: (jac * raw((b * jac))).astype(rx.dtype))
 
         def matvec(v):
             # Exact fp64 augmented operator from the original pieces.

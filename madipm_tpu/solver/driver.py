@@ -132,6 +132,7 @@ def make_config(
         use_flex_pcg=opt.pcg_flex,
         dist_mesh=mesh,
         dist_axis=dist_axis,
+        factor_precision=opt.factor_precision,
     )
     from ..utils.options import Mehrotra
 
@@ -774,7 +775,17 @@ def _loop_body(cfg: SolverConfig, prob: DeviceQP, state: IPMState) -> IPMState:
 
 
 def solve_device(cfg: SolverConfig, prob: DeviceQP) -> Tuple[DeviceQP, ScaleInfo, IPMState]:
-    """Whole solve as one traced program (jit-compatible)."""
+    """Whole solve as one traced program (jit-compatible).
+
+    Refactorizes every iteration, like the reference (src/solver.jl:299-303).
+    A stale-preconditioner variant (carry the factor across trips, rebuild
+    only Sigma^-1) was measured and REJECTED: Sigma moves by decades per
+    early-IPM iteration, so even a one-iteration-old factor blew a 12-
+    iteration solve up to 66 iterations (period 2), and at period 3 the
+    resulting garbage steps stalled inf_pr long enough to trip the
+    infeasibility-by-stall classifier on a feasible LP — a correctness
+    footgun, not just a perf loss (docs/design.md round-2 notes).
+    """
     prob_s, scale, state = initialize(cfg, prob)
     state = lax.while_loop(
         lambda s: s.status == int(Status.REGULAR),

@@ -255,6 +255,17 @@ class IPMOptions:
     # + refinement on TPU). None = pick by backend.
     factor_dtype: Optional[str] = None
 
+    #: XLA matmul precision for the factor-dtype work (normal assembly, the
+    #: blocked factorization, preconditioner applications) when the factor
+    #: runs below the residual precision: "default" (1 bf16 MXU pass),
+    #: "high" (3 passes, ~fp32 products), "highest" (6 passes, true fp32),
+    #: or None = inherit the global jax default.  The factor is only a PCG
+    #: preconditioner behind the exact fp64 operator, so it tolerates far
+    #: looser products than the global "highest" the benchmarks set
+    #: (ops/kkt.KKTConfig.factor_precision; measured on a v5e — see
+    #: BASELINE.md).
+    factor_precision: Optional[str] = None
+
     #: fuse the fp32 Cholesky into one Pallas VMEM kernel (TPU only; the
     #: system must fit VMEM).  None = off: at benchmark KKT sizes the fully
     #: fused XLA solve already pipelines the factorization ops, and the

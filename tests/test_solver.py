@@ -478,6 +478,30 @@ class TestAdaptivePCGTol:
         assert ada.objective == pytest.approx(ref.objective, abs=1e-7)
 
 
+class TestFactorPrecision:
+    @pytest.mark.parametrize("prec", ["default", "high", "highest"])
+    def test_factor_precision_matches_full(self, rng, prec):
+        """factor_precision relaxes the matmul precision of the fp32 factor /
+        preconditioner path only — the fp64 PCG operator stays exact, so the
+        converged answer must match the unrestricted solve.  (CPU executes
+        every precision identically; this pins the plumbing + semantics, the
+        TPU win is measured in scripts/ablate_precision.py.)"""
+        import madipm_tpu as mt
+        from conftest import random_lp
+
+        c, A, b, lvar, uvar = random_lp(rng, n=40, m=12)
+        qp = mt.from_dense(c=c, A=A, lcon=b, ucon=b, lvar=lvar, uvar=uvar)
+        common = dict(
+            print_level=mt.PrintLevel.ERROR,
+            factor_dtype="float32",
+            refinement_steps=6,
+        )
+        ref = mt.madipm(qp, **common)
+        low = mt.madipm(qp, factor_precision=prec, **common)
+        assert ref.success and low.success
+        assert low.objective == pytest.approx(ref.objective, abs=1e-7)
+
+
 class TestAcceptableLevel:
     def test_acceptable_exit_instead_of_max_iter(self, rng):
         """With an unreachable tol, the solver must settle at the acceptable
