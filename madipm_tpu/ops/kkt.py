@@ -71,14 +71,12 @@ class KKTConfig:
     dist_axis: str = "cols"
     #: XLA matmul precision for factor-dtype work (normal-matrix assembly,
     #: the blocked factorization, and every preconditioner application) when
-    #: the factor runs BELOW the residual precision.  The benchmarks set the
-    #: GLOBAL default to "highest", which makes every fp32 dot a 6-pass bf16
-    #: emulation on TPU — correct for fp64-critical math but wasted on a
-    #: factor that is only a PCG preconditioner behind the exact fp64
-    #: operator.  "high" = 3 bf16 passes (~fp32-quality products),
-    #: "default" = 1 pass.  None inherits the global setting.  Ignored when
-    #: factor_dtype == residual dtype (a full-precision factor IS the
-    #: solution path and must not be degraded).
+    #: the factor runs BELOW the residual precision.  "high" = 3 bf16
+    #: passes, "default" = 1 pass, None inherits the global setting.
+    #: Ignored when factor_dtype == residual dtype.  NOTE: measured UNSAFE
+    #: at the tol=1e-8 bench config (0/8 solved at both "high" and
+    #: "default", for at most +27% rate) — see IPMOptions.factor_precision
+    #: for the analysis; the 6-pass "highest" factor is load-bearing there.
     factor_precision: Optional[str] = None
 
 

@@ -458,11 +458,19 @@ def update_termination(
     best_pr = jnp.minimum(state.best_pr, inf_pr)
     n_stall = jnp.where(improved, 0, state.n_stall + 1).astype(jnp.int32)
     compl_floor = jnp.maximum(cfg.acceptable_tol, 10.0 * cfg.mu_balance * inf_pr)
+    # state.ls_cert: the stalled point must additionally be a (periodically
+    # re-evaluated) least-squares stationarity certificate — without it, a
+    # FEASIBLE instance whose inf_pr is pinned at ~1e-4 by linear-solve
+    # noise matches every other gate here and gets misclassified (observed
+    # on a rhs-perturbed bench instance, scripts/diag_blowup.py; the
+    # certificate is exact on true LS limit points and O(1)-violated at
+    # noise stalls — kernels.ls_infeasibility_certificate).
     stall_infeasible = (
         (n_stall >= 100)
         & (inf_pr > jnp.sqrt(cfg.tol))
         & (inf_du <= cfg.acceptable_tol)
         & (inf_compl <= compl_floor)
+        & state.ls_cert
     )
     infeasible = infeasible | stall_infeasible
     diverging = obj < -cfg.divergence_tol * jnp.maximum(
@@ -759,12 +767,42 @@ def iteration(
 # Drivers
 # ---------------------------------------------------------------------------
 
+#: trips between least-squares-certificate refreshes (see
+#: kernels.ls_infeasibility_certificate).  The stall classifier needs >=100
+#: stalled iterations before the certificate matters, so a 16-trip-stale
+#: certificate only delays a legitimate INFEASIBLE exit by <= 16 iterations
+#: while amortizing the extra A'-matvec to ~6% of one per iteration.
+CERT_PERIOD = 16
 
-def _loop_body(cfg: SolverConfig, prob: DeviceQP, state: IPMState) -> IPMState:
+
+def _refresh_cert(cfg: SolverConfig, prob: DeviceQP, state: IPMState) -> IPMState:
+    """Re-evaluate the least-squares infeasibility certificate (one A and
+    one A' application; host-loop drivers call this every CERT_PERIOD
+    iterations)."""
+    p = dataclasses.replace(prob, lb=state.lb, ub=state.ub)
+    return state._replace(ls_cert=K.ls_infeasibility_certificate(p, state.x))
+
+
+def _loop_body(cfg: SolverConfig, prob: DeviceQP, state: IPMState, do_cert=None) -> IPMState:
     # One A x / A' y pair per loop trip, shared between the termination
     # check and the iteration's rhs builds (see kernels.eval_cons_residual).
     ax = prob.matvec(state.x)
     aty = prob.rmatvec(state.y)
+    if do_cert is not None:
+        # Periodic least-squares certificate refresh (one extra A'-matvec).
+        # ``do_cert`` is an UNBATCHED scalar (derived from the driver's trip
+        # counter, not per-lane state), so under vmap this stays a genuine
+        # lax.cond and non-refresh trips pay nothing.
+        state = lax.cond(
+            do_cert,
+            lambda s: s._replace(
+                ls_cert=K.ls_infeasibility_certificate(
+                    dataclasses.replace(prob, lb=s.lb, ub=s.ub), s.x, ax
+                )
+            ),
+            lambda s: s,
+            state,
+        )
     state = update_termination(cfg, prob, state, ax, aty)
     return lax.cond(
         state.status == int(Status.REGULAR),
@@ -787,10 +825,17 @@ def solve_device(cfg: SolverConfig, prob: DeviceQP) -> Tuple[DeviceQP, ScaleInfo
     footgun, not just a perf loss (docs/design.md round-2 notes).
     """
     prob_s, scale, state = initialize(cfg, prob)
-    state = lax.while_loop(
-        lambda s: s.status == int(Status.REGULAR),
-        lambda s: _loop_body(cfg, prob_s, s),
-        state,
+
+    def body(carry):
+        s, t = carry
+        # t is deliberately UNBATCHED (it never mixes with per-lane state):
+        # the certificate refresh below stays a real branch under vmap.
+        return _loop_body(cfg, prob_s, s, do_cert=(t % CERT_PERIOD == 0)), t + 1
+
+    state, _ = lax.while_loop(
+        lambda c: c[0].status == int(Status.REGULAR),
+        body,
+        (state, jnp.asarray(CERT_PERIOD - 1)),
     )
     return prob_s, scale, state
 
@@ -814,7 +859,7 @@ def solve_device_chunked(
     def _chunk(prob_, state_):
         def body(carry):
             s, i = carry
-            return _loop_body(cfg, prob_, s), i + 1
+            return _loop_body(cfg, prob_, s, do_cert=(i % CERT_PERIOD == 0)), i + 1
 
         def cond(carry):
             s, i = carry
@@ -862,8 +907,13 @@ def solve_logged(
     step = jax.jit(partial(iteration, cfg))
 
     prob_s, scale, state = init(prob)
+    certf = jax.jit(partial(_refresh_cert, cfg))
     header = "iter    objective    inf_pr   inf_du lg(mu)  ||d||  lg(rg) alpha_du alpha_pr"
+    trip = 0
     while True:
+        if trip % CERT_PERIOD == 0:
+            state = certf(prob_s, state)
+        trip += 1
         state = term(prob_s, state)
         k = int(state.k)
         if k % 10 == 0:
@@ -927,8 +977,13 @@ def solve_timed(
     prob_s, scale, state = init(prob)
     _np.asarray(state.k)  # sync: init complete before the loop timers start
     timers = {"linear_solver_time": 0.0, "eval_time": 0.0, "step_time": 0.0}
+    certf = jax.jit(partial(_refresh_cert, cfg))
+    trip = 0
     while True:
         t1 = time.time()
+        if trip % CERT_PERIOD == 0:
+            state = certf(prob_s, state)
+        trip += 1
         ax, aty = evalf(prob_s, state)
         state = term(prob_s, state, ax, aty)
         status = int(_np.asarray(state.status))  # sync

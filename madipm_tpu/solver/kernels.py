@@ -111,6 +111,45 @@ def dual_infeasibility(prob: DeviceQP, x, y, zl, zu, aty=None):
     return _masked_max_abs(dual_residual(prob, x, y, zl, zu, aty), prob.free_mask)
 
 
+def ls_infeasibility_certificate(prob: DeviceQP, x, ax=None):
+    """Is the current iterate (approximately) a least-squares infeasibility
+    certificate — a stationary point of min ||A x - b||^2 s.t. lb<=x<=ub
+    with a nonzero residual?
+
+    On a genuinely infeasible LP the MPC iterates converge to exactly such
+    a point (inf_du, compl -> 0, inf_pr stuck at the LS distance), and the
+    projected gradient of the LS objective vanishes there up to solve
+    accuracy.  On a FEASIBLE instance that merely grinds (linear-solve
+    noise pinning inf_pr at ~1e-4, scripts/diag_blowup.py), the LS optimum
+    is zero, so the projected gradient at the stalled point stays O(||r||)
+    — orders above the 1e-2*||r||_inf acceptance used here.  This is the
+    gate that keeps the infeasibility-by-stall classifier
+    (driver.update_termination) from misclassifying feasible instances;
+    the reference has no analogue (its stall exits are max_iter only).
+
+    One A'-matvec per evaluation; the fused driver amortizes it by
+    evaluating only every ~16th trip (an unbatched-counter lax.cond, so
+    vmapped lanes skip it for free).
+    """
+    r = eval_cons_residual(prob, x, ax)
+    g = prob.rmatvec(r)
+    r_inf = _masked_max_abs(r, prob.row_mask)
+    # Bound activity at the iterate (relative slack; barrier iterates sit
+    # ~mu/z off the bound, far inside this tolerance at a stall).
+    sl = x - prob.lb
+    su = prob.ub - x
+    act_l = prob.has_lb & (sl <= 1e-6 * (1.0 + jnp.abs(x)))
+    act_u = prob.has_ub & (su <= 1e-6 * (1.0 + jnp.abs(x)))
+    # Stationarity violation of min ||Ax-b||^2 over the box: interior
+    # components need g ~ 0; at a lower bound only g >= 0 is required
+    # (increase is the only feasible move), at an upper bound g <= 0.
+    pg = jnp.where(
+        act_l, jnp.minimum(g, 0.0), jnp.where(act_u, jnp.maximum(g, 0.0), g)
+    )
+    pg_inf = _masked_max_abs(pg, prob.free_mask)
+    return pg_inf <= 1e-2 * r_inf
+
+
 def complementarity_inf(prob: DeviceQP, x, zl, zu, mu=0.0):
     """max |s.z - mu| over both bound families (MadNLP.get_inf_compl)."""
     sl, su = slacks(prob, x)

@@ -72,6 +72,10 @@ class IPMState(NamedTuple):
     # of consecutive iterations without >=1% improvement on it.
     best_pr: jax.Array
     n_stall: jax.Array  # int32
+    # Least-squares infeasibility certificate at the (periodically
+    # re-evaluated) iterate: required before the stall classifier may
+    # declare INFEASIBLE (kernels.ls_infeasibility_certificate).
+    ls_cert: jax.Array  # bool
 
 
 def init_state(n: int, m: int, dtype=jnp.float64) -> IPMState:
@@ -93,4 +97,5 @@ def init_state(n: int, m: int, dtype=jnp.float64) -> IPMState:
         n_acceptable=jnp.asarray(0, jnp.int32),
         best_pr=sc(jnp.finfo(dtype).max),
         n_stall=jnp.asarray(0, jnp.int32),
+        ls_cert=jnp.asarray(False),
     )

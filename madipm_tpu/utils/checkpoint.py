@@ -42,12 +42,16 @@ def load_state(path: str, dtype=jnp.float64) -> IPMState:
                 kwargs[f] = jnp.asarray(0, jnp.int32)
             elif f == "best_pr":
                 kwargs[f] = jnp.asarray(jnp.finfo(dtype).max, dtype)
+            elif f == "ls_cert":
+                kwargs[f] = jnp.asarray(False)
             else:
                 kwargs[f] = jnp.asarray(0.0, dtype)
             continue
         arr = data[f]
         if f in int_fields:
             kwargs[f] = jnp.asarray(arr, jnp.int32)
+        elif f == "ls_cert":
+            kwargs[f] = jnp.asarray(arr, jnp.bool_)
         else:
             kwargs[f] = jnp.asarray(arr, dtype)
     return IPMState(**kwargs)

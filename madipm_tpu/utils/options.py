@@ -258,12 +258,15 @@ class IPMOptions:
     #: XLA matmul precision for the factor-dtype work (normal assembly, the
     #: blocked factorization, preconditioner applications) when the factor
     #: runs below the residual precision: "default" (1 bf16 MXU pass),
-    #: "high" (3 passes, ~fp32 products), "highest" (6 passes, true fp32),
-    #: or None = inherit the global jax default.  The factor is only a PCG
-    #: preconditioner behind the exact fp64 operator, so it tolerates far
-    #: looser products than the global "highest" the benchmarks set
-    #: (ops/kkt.KKTConfig.factor_precision; measured on a v5e — see
-    #: BASELINE.md).
+    #: "high" (3 passes), "highest" (6 passes, true fp32), or None =
+    #: inherit the global jax default.  MEASURED NEGATIVE at the tol=1e-8
+    #: benchmark config on a v5e (scripts/ablate_precision.py): "high" is
+    #: only +9% iter/s and "default" +27%, and BOTH collapse convergence
+    #: (0/8 solved — the unstructured bf16-truncation error in the factor
+    #: swamps the 1e-12-scale eigenvalues of the Jacobi-scaled normal
+    #: matrix near the barrier floor, unlike the structured PRECOND_SHIFT,
+    #: and the fp64 PCG budget cannot recover).  Kept for looser-tolerance
+    #: workloads; leave None for tol<=1e-8.
     factor_precision: Optional[str] = None
 
     #: fuse the fp32 Cholesky into one Pallas VMEM kernel (TPU only; the

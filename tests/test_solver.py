@@ -311,6 +311,32 @@ class TestInfeasibleUnbounded:
         stats = _solve(qp)
         assert not stats.success
 
+    def test_ls_certificate_kernel(self):
+        """The least-squares certificate (the stall classifier's gate) must
+        accept a true LS limit point and reject a noise-stalled point on a
+        feasible instance (driver.update_termination; the misclassification
+        it prevents was observed on a rhs-perturbed bench instance)."""
+        import jax.numpy as jnp
+
+        from madipm_tpu.models.qp import pad_to_device
+        from madipm_tpu.solver import kernels as K
+
+        # Conflicting equalities x0 = 1 and x0 = 3: LS optimum x0 = 2.
+        qp = mt.from_dense(
+            c=[1.0, 1.0], A=[[1.0, 0.0], [1.0, 0.0]],
+            lcon=[1.0, 3.0], ucon=[1.0, 3.0],
+            lvar=[0.0, 0.0], uvar=[np.inf, np.inf],
+        )
+        from madipm_tpu.models.qp import slack_form
+
+        prob = pad_to_device(slack_form(qp))
+        x_ls = jnp.zeros(prob.n).at[0].set(2.0).at[1].set(0.5)
+        assert bool(K.ls_infeasibility_certificate(prob, x_ls))
+        # A point whose residual is NOT LS-stationary (feasible problem
+        # would have r -> 0; here x0=1.4 has descent available).
+        x_noise = jnp.zeros(prob.n).at[0].set(1.4).at[1].set(0.5)
+        assert not bool(K.ls_infeasibility_certificate(prob, x_noise))
+
     def test_infeasible_by_stall(self):
         # Conflicting equalities (x0 = 1 and x0 = 3): nothing diverges —
         # the MPC converges to the least-squares infeasible limit point
