@@ -190,7 +190,12 @@ def main():
         # to enormous emulated-fp64 programs on TPU) + fp64 refinement.
         opts["linear_solver"] = mt.LinearSolver.CHOLESKY_INV
         opts["factor_dtype"] = "float32"
-        opts["refinement_steps"] = 6  # adaptive: early-exit budget
+        # PCG budget (corrector cap = 4x).  12, not 6: healthy lanes exit on
+        # rtol after 1-2 iterations either way, but at 6 the rhs-perturbed
+        # runs ground 84-110 iterations at the barrier floor (budget-bound,
+        # not tolerance-bound) — at 12 they solve in ~21 like everyone else
+        # (scripts/ablate_robust2048.py / ablate_budget1024.py).
+        opts["refinement_steps"] = 12
         # Inexact-Newton PCG tolerances (mu-proportional, clamped at
         # 1e-11/1e-13): measured +56% iter/s over fixed 1e-12/1e-14 exits
         # at this shape with objectives unchanged to 2e-9 (scripts/ablate.py).

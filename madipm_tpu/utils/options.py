@@ -248,8 +248,14 @@ class IPMOptions:
     #: max fp64 iterative-refinement sweeps after each fp32 factor-solve on
     #: TPU (0 disables; load-bearing for reaching tol=1e-8 with an MXU fp32
     #: factorization).  The refinement loop exits early on convergence, so
-    #: this is a budget, not a fixed cost (ops/linalg.refine).
-    refinement_steps: int = 6
+    #: this is a budget, not a fixed cost (ops/linalg.refine); the corrector
+    #: PCG budget is 4x this.  Default 12: at 6, rhs-perturbed bench
+    #: instances ground past max_iter at the barrier floor (the budget, not
+    #: the tolerance rule, binds there — a 111-iteration grind became a
+    #: 21-iteration solve at 12, and the m=2048x8 suite went from 3/8 to
+    #: 8/8 solved at +0% cost on healthy lanes, which exit on rtol long
+    #: before the cap; scripts/ablate_robust2048.py, 2026-08-21).
+    refinement_steps: int = 12
 
     # Compute dtype of the factorization ("float64" on CPU tests; "float32"
     # + refinement on TPU). None = pick by backend.

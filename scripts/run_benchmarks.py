@@ -251,7 +251,7 @@ def main():
         opts.update(
             linear_solver=mt.LinearSolver.CHOLESKY_INV,
             factor_dtype="float32",
-            refinement_steps=6,
+            refinement_steps=12,
             pcg_adaptive_tol=True,  # headline bench config (bench.py)
         )
 

@@ -45,7 +45,7 @@ def main():
         print_level=mt.PrintLevel.ERROR,
         linear_solver=mt.LinearSolver.CHOLESKY_INV,
         factor_dtype="float32",
-        refinement_steps=6,
+        refinement_steps=12,
         pcg_adaptive_tol=True,
     )
 
