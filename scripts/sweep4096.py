@@ -35,9 +35,14 @@ def main():
 
     import madipm_tpu as mt
 
-    # k=4 exhausts the 16 GB v5e (fp64 A + two bf16 slice sets + while_loop
-    # double buffering); k=2 fits.
-    k, n, m, density = 2, 8192, 4096, 0.05
+    # Round 1: k=4 exhausted the 16 GB v5e with the two-copy slice layout
+    # (fp64 A + forward AND transposed bf16 slice sets + while_loop double
+    # buffering).  Shared slices (ozaki_share_slices=True, round 2) drop
+    # the transposed copy (~470 MB/instance); pass `k` (and optionally
+    # `share`) on the command line: `sweep4096.py 4 share`.
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    share = "share" in sys.argv[2:]
+    n, m, density = 8192, 4096, 0.05
     models = benchmod.make_suite(k=k, n=n, m=m, density=density)
 
     opts = dict(
@@ -50,6 +55,8 @@ def main():
         refinement_steps=12,
         pcg_adaptive_tol=True,
     )
+    if share:
+        opts["ozaki_share_slices"] = True
 
     iters, wall, stats = benchmod.bench_tpu(models, opts)
     solved = sum(s.success for s in stats)
