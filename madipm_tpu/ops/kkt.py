@@ -105,6 +105,20 @@ class DistNormalFactors(NamedTuple):
     live: jax.Array
 
 
+class DistCondensedFactors(NamedTuple):
+    """K1 condensed factors with the size-n Cholesky row-strip-sharded
+    over a mesh axis (parallel/dist_chol.dist_factor_condensed) — the
+    multi-chip QP path.  Same solve semantics as CondensedFactors."""
+
+    L: jax.Array  # [n, n] lower factor, rows sharded over dist_axis
+    W: jax.Array  # [n, nb] per-strip inverse diagonal blocks
+    jac: jax.Array  # [n] Jacobi scale (replicated)
+    sigma: jax.Array  # barrier diagonal (residual dtype)
+    gamma: jax.Array  # 1/|del_c_eff|
+    del_c: jax.Array
+    live: jax.Array
+
+
 class CondensedFactors(NamedTuple):
     """K1 condensed factors (see utils.options.KKTSystem.CONDENSED)."""
 
@@ -241,12 +255,20 @@ def _assemble_augmented(prob: DeviceQP, sigma, del_c, factor_dtype):
     return K, live
 
 
-def factorize(cfg: KKTConfig, prob: DeviceQP, x, zl, zu, del_w, del_c):
+def factorize(cfg: KKTConfig, prob: DeviceQP, x, zl, zu, del_w, del_c,
+              force_ok=None):
     """Factorize the KKT system, bumping regularization x100 on failure.
 
     Mirrors ``factorize_regularized_system!`` (reference:
     src/linear_solver.jl:6-17): up to ``max_factor_trials`` attempts, each
     multiplying (del_w, del_c) by 100.  Returns (factors, del_w, del_c, ok).
+
+    ``force_ok`` (an optional traced bool) accepts the FIRST attempt
+    unconditionally — the finished-lane neutralization hook: under vmap a
+    converged lane still executes the loop body (while_loop batching
+    select-masks it), and without this its terminal barrier system could
+    drive the x100 retry loop below for every remaining trip, dragging all
+    lanes through up to ``max_factor_trials`` extra factorizations.
     """
     rdtype = prob.dtype
 
@@ -323,6 +345,40 @@ def factorize(cfg: KKTConfig, prob: DeviceQP, x, zl, zu, del_w, del_c):
                 NormalFactors(
                     L=fac, jac=jac, dinv=dinv,
                     del_c=jnp.asarray(dc, rdtype), live=live, Smat=smat,
+                ),
+                ok,
+            )
+        elif cfg.kind == KKTSystem.CONDENSED and cfg.dist_mesh is not None:
+            # Distributed K1: the size-n SPD system is assembled from
+            # row-sharded A blocks and strip-factored across the mesh —
+            # multi-chip QPs (parallel/dist_chol.dist_factor_condensed).
+            from ..parallel import dist_chol
+
+            dc_mag = jnp.maximum(jnp.abs(dc), CONDENSED_RELAX_MIN)
+            gamma = 1.0 / dc_mag
+            live = prob.live_rows()
+            free = prob.free_mask
+            A_eff = prob.dense_A * free[None, :]
+            Qd = None
+            if prob.is_qp:
+                Qd = prob.add_quad(
+                    jnp.zeros((prob.n, prob.n), cfg.factor_dtype), cfg.factor_dtype
+                )
+            shift = (
+                PRECOND_SHIFT
+                if cfg.refinement_steps > 0 and jnp.dtype(cfg.factor_dtype) != rdtype
+                else 0.0
+            )
+            L, W, jac, ok = dist_chol.dist_factor_condensed(
+                cfg.dist_mesh, A_eff, Qd, sigma, live.astype(rdtype),
+                gamma, shift, cfg.factor_dtype, axis=cfg.dist_axis,
+            )
+            dc_eff = -jnp.maximum(jnp.abs(jnp.asarray(dc, rdtype)), CONDENSED_RELAX_MIN)
+            return (
+                DistCondensedFactors(
+                    L=L, W=W, jac=jac, sigma=sigma,
+                    gamma=jnp.asarray(gamma, rdtype),
+                    del_c=dc_eff, live=live,
                 ),
                 ok,
             )
@@ -421,6 +477,8 @@ def factorize(cfg: KKTConfig, prob: DeviceQP, x, zl, zu, del_w, del_c):
             return _attempt_inner(dw, dc)
 
     factors0, ok0 = attempt(del_w, del_c)
+    if force_ok is not None:
+        ok0 = ok0 | force_ok
 
     def cond(carry):
         trial, dw, dc, _, ok = carry
@@ -611,7 +669,7 @@ def solve_condensed(
 
         dx = dinv * (rx - prob.rmatvec(dy))
         return dx, dy
-    elif isinstance(factors, CondensedFactors):
+    elif isinstance(factors, (CondensedFactors, DistCondensedFactors)):
         # K1: (Sigma + Q + gamma A'A) dx = rx + gamma A' rp, then recover
         # dy = -gamma (rp - A dx) (sign: del_c = -1/gamma < 0).
         free = prob.free_mask
@@ -622,11 +680,21 @@ def solve_condensed(
 
         jac = factors.jac
 
-        def solve_fn(b):
-            bf = (b * jac).astype(factors.L.dtype)
-            if cfg.linear_solver == LinearSolver.CHOLESKY_INV:
-                return block_chol.chol_inv_solve(factors.L, bf) * jac
-            return linalg.cholesky_solve(factors.L, bf) * jac
+        if isinstance(factors, DistCondensedFactors):
+            from ..parallel import dist_chol
+
+            def solve_fn(b):
+                bf = (b * jac).astype(factors.L.dtype)
+                y = dist_chol.dist_chol_solve(
+                    cfg.dist_mesh, factors.L, factors.W, bf, cfg.dist_axis
+                )
+                return y * jac
+        else:
+            def solve_fn(b):
+                bf = (b * jac).astype(factors.L.dtype)
+                if cfg.linear_solver == LinearSolver.CHOLESKY_INV:
+                    return block_chol.chol_inv_solve(factors.L, bf) * jac
+                return linalg.cholesky_solve(factors.L, bf) * jac
 
         solve_fn = _with_fprec(solve_fn)
 
@@ -644,7 +712,11 @@ def solve_condensed(
             iters = (
                 pcg_budget if pcg_budget is not None else 4 * cfg.refinement_steps
             )
-            if cfg.use_flex_pcg and factors.L.dtype != rhs.dtype:
+            if (
+                cfg.use_flex_pcg
+                and factors.L.dtype != rhs.dtype
+                and isinstance(factors, CondensedFactors)  # dist has no Smat
+            ):
                 # Flexible PCG with the fp32 inner CG preconditioner (see
                 # the NORMAL branch).  K1 with an fp64 factor (the default:
                 # gamma ~ 1e8 exceeds fp32 dynamic range) keeps the all-fp64

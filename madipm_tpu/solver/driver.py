@@ -98,10 +98,11 @@ def make_config(
             "NormalKKT supports only linear programs (reference: "
             "src/KKT/normalkkt.jl:45-48); use kkt_system=AUGMENTED for QPs."
         )
-    if mesh is not None and kind != KKTSystem.NORMAL:
+    if mesh is not None and kind not in (KKTSystem.NORMAL, KKTSystem.CONDENSED):
         raise ValueError(
-            f"the distributed factorization supports the NORMAL KKT system "
-            f"only, got {kind} (use kkt_system=NORMAL or mesh=None)"
+            f"the distributed factorization supports the NORMAL (LP) and "
+            f"CONDENSED (QP) KKT systems, got {kind} "
+            f"(use kkt_system=NORMAL/CONDENSED or mesh=None)"
         )
     factor_dtype = jnp.dtype(opt.factor_dtype) if opt.factor_dtype else jnp.dtype(dtype)
     # Refinement sweeps only pay off when the factor runs below the residual
@@ -509,31 +510,66 @@ def update_termination(
 # ---------------------------------------------------------------------------
 
 
-def _factor_phase(cfg: SolverConfig, prob: DeviceQP, state: IPMState):
+def _factor_phase(cfg: SolverConfig, prob: DeviceQP, state: IPMState, active=None):
     """Regularization update + KKT factorization (reference
     factorize_system!, src/solver.jl:299-303).  Split out so the timed
     driver (solve_timed) can account it as linear-solver work the way the
     reference's counters do (MadNLPCounters.linear_solver_time,
-    scripts/benchmarks_cpu.jl:50)."""
+    scripts/benchmarks_cpu.jl:50).
+
+    ``active`` (traced bool, per-lane under vmap) enables finished-lane
+    neutralization: a non-REGULAR lane executes the factorization anyway
+    (vmap select-masks, it cannot skip), so it gets a BENIGN system —
+    zl = zu = 0 and del_w = 1 pin Sigma to exactly 1, and ``force_ok``
+    disarms the x100 retry loop — instead of its terminal barrier system
+    (Sigma spanning ~16 decades), whose fp32 factorization failures would
+    drive up to max_factor_trials extra factorizations for ALL lanes on
+    every remaining trip.
+    """
     prob = dataclasses.replace(prob, lb=state.lb, ub=state.ub)
     del_w, del_c, reg_p, reg_d = _update_regularization(cfg, state)
+    zl, zu = state.zl, state.zu
+    force_ok = None
+    if active is not None:
+        zero = jnp.zeros_like(zl)
+        zl = jnp.where(active, zl, zero)
+        zu = jnp.where(active, zu, zero)
+        del_w = jnp.where(active, del_w, jnp.ones_like(del_w))
+        del_c = jnp.where(active, del_c, jnp.zeros_like(del_c))
+        force_ok = ~active
     factors, del_w, del_c, _ok = kkt_ops.factorize(
-        cfg.kkt, prob, state.x, state.zl, state.zu, del_w, del_c
+        cfg.kkt, prob, state.x, zl, zu, del_w, del_c, force_ok=force_ok
     )
     return factors, del_w, del_c, reg_p, reg_d
 
 
 def _direction_phase(
     cfg: SolverConfig, prob: DeviceQP, state: IPMState,
-    factors, ax, aty,
+    factors, ax, aty, active=None, rhs_aff=None,
 ):
     """Predictor + Mehrotra corrector (+ Gondzio) KKT solves.  Returns the
     accepted direction and the new barrier parameter; solve-dominated (the
-    RHS builds in here are elementwise O(n) glue)."""
+    RHS builds in here are elementwise O(n) glue given the precomputed
+    ax/aty pair — no A-applications outside the solves).
+
+    ``active`` (see _factor_phase): a non-REGULAR lane's solve rhs is
+    zeroed, so every PCG exits on its first residual check (r0 = 0) instead
+    of grinding its full iteration budget on the lane's terminal barrier
+    system — under vmap the PCG while_loop trip count is the max over
+    lanes, so one finished lane would otherwise slow every active lane."""
     prob = dataclasses.replace(prob, lb=state.lb, ub=state.ub)
     x, y, zl, zu = state.x, state.y, state.zl, state.zu
 
-    solve = partial(kkt_ops.solve_condensed, cfg.kkt, prob, factors)
+    _solve = partial(kkt_ops.solve_condensed, cfg.kkt, prob, factors)
+    if active is None:
+        solve = _solve
+    else:
+        def solve(rx, rp, **kw):
+            return _solve(
+                jnp.where(active, rx, jnp.zeros_like(rx)),
+                jnp.where(active, rp, jnp.zeros_like(rp)),
+                **kw,
+            )
 
     # Inexact-Newton tolerances: early iterations tolerate step residuals
     # proportional to the complementarity (standard inexact-MPC analysis);
@@ -546,8 +582,12 @@ def _direction_phase(
     # Predictor (reference prediction_step!, src/solver.jl:230-237).
     # The affine direction only shapes the centering heuristics, so it gets
     # a reduced PCG budget; the corrector (the actual step) solves to full
-    # accuracy.
-    rhs_aff = K.predictor_rhs(prob, x, y, zl, zu, ax, aty)
+    # accuracy.  ``rhs_aff`` may be precomputed by the caller (solve_timed
+    # builds it in its eval phase so linear_solver_time matches the
+    # reference's factorize+solve counter semantics,
+    # src/linear_solver.jl:6-44).
+    if rhs_aff is None:
+        rhs_aff = K.predictor_rhs(prob, x, y, zl, zu, ax, aty)
     dx, dy = solve(
         rhs_aff.rx, rhs_aff.rp,
         pcg_budget=max(2, cfg.kkt.refinement_steps // 2),
@@ -738,10 +778,21 @@ def _step_phase(
 
 
 def iteration(
-    cfg: SolverConfig, prob: DeviceQP, state: IPMState, ax=None, aty=None
+    cfg: SolverConfig, prob: DeviceQP, state: IPMState, ax=None, aty=None,
+    active=None,
 ) -> IPMState:
     """One MPC iteration: the three phases composed (fused under jit; XLA
-    schedules across the phase boundaries exactly as before the split)."""
+    schedules across the phase boundaries exactly as before the split).
+
+    ``active`` (optional traced bool): finished-lane neutralization.  When
+    given and False, the iteration runs on a SANITIZED system — Sigma
+    pinned to 1, factor-retry disarmed, solve rhs zeroed — so that a
+    converged/terminated lane executing under vmap's select-masking cannot
+    drive the data-dependent inner loops (factor retries, PCG budgets) that
+    set every lane's trip counts.  The caller is responsible for discarding
+    the resulting state for inactive lanes (see _loop_body); results for
+    such lanes are meaningless by construction.
+    """
     # A x / A' y for the CURRENT iterate, computed once and shared by the
     # predictor and corrector rhs builds (and, via _loop_body, the
     # termination check): fp64 A-applications are the dominant per-iteration
@@ -753,9 +804,9 @@ def iteration(
             ax = prob_b.matvec(state.x)
         if aty is None:
             aty = prob_b.rmatvec(state.y)
-    factors, del_w, del_c, reg_p, reg_d = _factor_phase(cfg, prob, state)
+    factors, del_w, del_c, reg_p, reg_d = _factor_phase(cfg, prob, state, active)
     dx, dy, dzl, dzu, mu_new, mu_curr, solve_bad = _direction_phase(
-        cfg, prob, state, factors, ax, aty
+        cfg, prob, state, factors, ax, aty, active
     )
     return _step_phase(
         cfg, prob, state, dx, dy, dzl, dzu, mu_new, mu_curr, solve_bad,
@@ -772,43 +823,53 @@ def iteration(
 #: stalled iterations before the certificate matters, so a 16-trip-stale
 #: certificate only delays a legitimate INFEASIBLE exit by <= 16 iterations
 #: while amortizing the extra A'-matvec to ~6% of one per iteration.
+#: The period must be HOST-SIDE structure (solve_device's nested loop, or
+#: the host loops of the chunked/logged/timed drivers) — a trip-counter
+#: lax.cond does NOT survive vmap: the while_loop batching rule
+#: select-masks every carry against the batched predicate, so the counter
+#: becomes per-lane and the cond lowers to a both-branches select_n,
+#: running the certificate matvec EVERY iteration (measured as advisor
+#: finding r2-medium).
 CERT_PERIOD = 16
 
 
 def _refresh_cert(cfg: SolverConfig, prob: DeviceQP, state: IPMState) -> IPMState:
     """Re-evaluate the least-squares infeasibility certificate (one A and
-    one A' application; host-loop drivers call this every CERT_PERIOD
-    iterations)."""
+    one A' application), called once per CERT_PERIOD-iteration chunk.
+
+    The min_residual floor rejects certificates at near-feasible iterates
+    (where r -> 0 makes the acceptance trivially true): a momentarily
+    near-feasible iterate must not latch a stale True for a later stall at
+    a different iterate to consume.  sqrt(tol)*max(1,||b||) mirrors the
+    stall classifier's own inf_pr > sqrt(tol) gate on the scaled residual.
+    """
     p = dataclasses.replace(prob, lb=state.lb, ub=state.ub)
-    return state._replace(ls_cert=K.ls_infeasibility_certificate(p, state.x))
+    min_res = jnp.sqrt(cfg.tol) * jnp.maximum(1.0, state.norm_b)
+    return state._replace(
+        ls_cert=K.ls_infeasibility_certificate(p, state.x, min_residual=min_res)
+    )
 
 
-def _loop_body(cfg: SolverConfig, prob: DeviceQP, state: IPMState, do_cert=None) -> IPMState:
+def _loop_body(cfg: SolverConfig, prob: DeviceQP, state: IPMState) -> IPMState:
     # One A x / A' y pair per loop trip, shared between the termination
     # check and the iteration's rhs builds (see kernels.eval_cons_residual).
     ax = prob.matvec(state.x)
     aty = prob.rmatvec(state.y)
-    if do_cert is not None:
-        # Periodic least-squares certificate refresh (one extra A'-matvec).
-        # ``do_cert`` is an UNBATCHED scalar (derived from the driver's trip
-        # counter, not per-lane state), so under vmap this stays a genuine
-        # lax.cond and non-refresh trips pay nothing.
-        state = lax.cond(
-            do_cert,
-            lambda s: s._replace(
-                ls_cert=K.ls_infeasibility_certificate(
-                    dataclasses.replace(prob, lb=s.lb, ub=s.ub), s.x, ax
-                )
-            ),
-            lambda s: s,
-            state,
-        )
     state = update_termination(cfg, prob, state, ax, aty)
-    return lax.cond(
-        state.status == int(Status.REGULAR),
-        lambda s: iteration(cfg, prob, s, ax, aty),
-        lambda s: s,
-        state,
+    # Finished-lane neutralization (docs/design.md "masked batch exit"):
+    # under vmap a non-REGULAR lane cannot skip the iteration (lax.cond on
+    # per-lane status lowers to select, both branches execute), so it runs
+    # a NEUTRALIZED iteration — Sigma=1, factor-retry disarmed, solve rhs
+    # zeroed — whose data-dependent loops (retry while_loop, PCG budgets)
+    # exit immediately instead of grinding the lane's terminal barrier
+    # system and dragging every active lane's trip counts with it.  The
+    # neutralized result is then discarded lane-wise.  Unbatched, the
+    # enclosing while_loop predicate already guarantees active=True and the
+    # selects fold away.
+    active = state.status == jnp.asarray(int(Status.REGULAR), jnp.int32)
+    new = iteration(cfg, prob, state, ax, aty, active=active)
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.where(active, a, b), new, state
     )
 
 
@@ -823,19 +884,30 @@ def solve_device(cfg: SolverConfig, prob: DeviceQP) -> Tuple[DeviceQP, ScaleInfo
     resulting garbage steps stalled inf_pr long enough to trip the
     infeasibility-by-stall classifier on a feasible LP — a correctness
     footgun, not just a perf loss (docs/design.md round-2 notes).
+
+    Nested-loop structure: the outer while_loop runs one certificate
+    refresh + an inner while_loop of up to CERT_PERIOD ordinary iterations.
+    The period is thus encoded in the PROGRAM (trip-count bound), not in a
+    carried counter, so it survives vmap — see the CERT_PERIOD note.
     """
     prob_s, scale, state = initialize(cfg, prob)
 
-    def body(carry):
-        s, t = carry
-        # t is deliberately UNBATCHED (it never mixes with per-lane state):
-        # the certificate refresh below stays a real branch under vmap.
-        return _loop_body(cfg, prob_s, s, do_cert=(t % CERT_PERIOD == 0)), t + 1
+    def outer(state):
+        state = _refresh_cert(cfg, prob_s, state)
 
-    state, _ = lax.while_loop(
-        lambda c: c[0].status == int(Status.REGULAR),
-        body,
-        (state, jnp.asarray(CERT_PERIOD - 1)),
+        def inner_cond(c):
+            s, i = c
+            return (s.status == int(Status.REGULAR)) & (i < CERT_PERIOD)
+
+        def inner_body(c):
+            s, i = c
+            return _loop_body(cfg, prob_s, s), i + 1
+
+        state, _ = lax.while_loop(inner_cond, inner_body, (state, jnp.asarray(0)))
+        return state
+
+    state = lax.while_loop(
+        lambda s: s.status == int(Status.REGULAR), outer, state
     )
     return prob_s, scale, state
 
@@ -857,9 +929,13 @@ def solve_device_chunked(
     init = jax.jit(partial(initialize, cfg))
 
     def _chunk(prob_, state_):
+        # Certificate refreshed once per host chunk (<= max(chunk,
+        # CERT_PERIOD)-stale; same staleness argument as CERT_PERIOD).
+        state_ = _refresh_cert(cfg, prob_, state_)
+
         def body(carry):
             s, i = carry
-            return _loop_body(cfg, prob_, s, do_cert=(i % CERT_PERIOD == 0)), i + 1
+            return _loop_body(cfg, prob_, s), i + 1
 
         def cond(carry):
             s, i = carry
@@ -954,10 +1030,14 @@ def solve_timed(
     Accounting notes: the initialization's factorization + two solves land
     in the caller's init accounting, not here (the reference counts them
     under linear_solver_time; at >=10 MPC iterations the difference is
-    noise).  Each phase is synced with a host fetch, so on the tunneled TPU
-    every phase carries the ~32 ms round-trip floor — use the fused
-    solve_device for throughput numbers and this driver for the
-    linear-solver-time breakdown.
+    noise).  The A-matvec pair AND the predictor rhs build are computed in
+    the eval phase, so linear_solver_time covers exactly the reference's
+    factorize+solve span (src/linear_solver.jl:6-44) — the only non-solve
+    work left inside it (corrector/Gondzio rhs assembly from the already-
+    computed pair) is elementwise O(n) glue.  Each phase is synced with a
+    host fetch, so on the tunneled TPU every phase carries the ~32 ms
+    round-trip floor — use the fused solve_device for throughput numbers
+    and this driver for the linear-solver-time breakdown.
     """
     t0 = time.time()
     init = jax.jit(partial(initialize, cfg))
@@ -965,7 +1045,12 @@ def solve_timed(
 
     def _eval(prob_, state_):
         p = dataclasses.replace(prob_, lb=state_.lb, ub=state_.ub)
-        return p.matvec(state_.x), p.rmatvec(state_.y)
+        ax = p.matvec(state_.x)
+        aty = p.rmatvec(state_.y)
+        rhs_aff = K.predictor_rhs(
+            p, state_.x, state_.y, state_.zl, state_.zu, ax, aty
+        )
+        return ax, aty, rhs_aff
 
     evalf = jax.jit(_eval)
     fact = jax.jit(partial(_factor_phase, cfg))
@@ -984,7 +1069,7 @@ def solve_timed(
         if trip % CERT_PERIOD == 0:
             state = certf(prob_s, state)
         trip += 1
-        ax, aty = evalf(prob_s, state)
+        ax, aty, rhs_aff = evalf(prob_s, state)
         state = term(prob_s, state, ax, aty)
         status = int(_np.asarray(state.status))  # sync
         timers["eval_time"] += time.time() - t1
@@ -997,7 +1082,7 @@ def solve_timed(
             break
         t1 = time.time()
         factors, del_w, del_c, reg_p, reg_d = fact(prob_s, state)
-        out = dirs(prob_s, state, factors, ax, aty)
+        out = dirs(prob_s, state, factors, ax, aty, None, rhs_aff)
         _np.asarray(out[4])  # sync: mu_new forces factor+direction programs
         timers["linear_solver_time"] += time.time() - t1
         t1 = time.time()

@@ -111,7 +111,7 @@ def dual_infeasibility(prob: DeviceQP, x, y, zl, zu, aty=None):
     return _masked_max_abs(dual_residual(prob, x, y, zl, zu, aty), prob.free_mask)
 
 
-def ls_infeasibility_certificate(prob: DeviceQP, x, ax=None):
+def ls_infeasibility_certificate(prob: DeviceQP, x, ax=None, min_residual=0.0):
     """Is the current iterate (approximately) a least-squares infeasibility
     certificate — a stationary point of min ||A x - b||^2 s.t. lb<=x<=ub
     with a nonzero residual?
@@ -128,8 +128,19 @@ def ls_infeasibility_certificate(prob: DeviceQP, x, ax=None):
     the reference has no analogue (its stall exits are max_iter only).
 
     One A'-matvec per evaluation; the fused driver amortizes it by
-    evaluating only every ~16th trip (an unbatched-counter lax.cond, so
-    vmapped lanes skip it for free).
+    evaluating once per CERT_PERIOD-trip inner chunk of its nested loop
+    (driver.solve_device) — a host-period structure that survives vmap,
+    unlike a trip-counter lax.cond (the while_loop batching rule
+    select-masks every carry, turning such a cond into a both-branches
+    select).
+
+    ``min_residual``: certificates at near-feasible iterates are rejected
+    (r -> 0 makes the 1e-2*r_inf acceptance trivially true; a momentarily
+    near-feasible iterate could otherwise latch a stale True that a LATER
+    stall at a different iterate consumes).  The driver passes
+    sqrt(tol)*max(1,||b||) — the same floor the stall classifier applies to
+    its scaled inf_pr gate, so a certificate can only be True where the
+    classifier could actually fire.
     """
     r = eval_cons_residual(prob, x, ax)
     g = prob.rmatvec(r)
@@ -147,7 +158,7 @@ def ls_infeasibility_certificate(prob: DeviceQP, x, ax=None):
         act_l, jnp.minimum(g, 0.0), jnp.where(act_u, jnp.maximum(g, 0.0), g)
     )
     pg_inf = _masked_max_abs(pg, prob.free_mask)
-    return pg_inf <= 1e-2 * r_inf
+    return (pg_inf <= 1e-2 * r_inf) & (r_inf > min_residual)
 
 
 def complementarity_inf(prob: DeviceQP, x, zl, zu, mu=0.0):

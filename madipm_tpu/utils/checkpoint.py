@@ -74,14 +74,35 @@ def resume(solver, state: IPMState):
     t0 = time.time()
     # Re-apply scaling to recover the scaled problem the state refers to.
     prob_s, scale, _ = jax.jit(driver.initialize, static_argnums=0)(cfg, prob)
-    state = state._replace(status=jnp.asarray(int(Status.REGULAR), jnp.int32))
+    # ls_cert is reset regardless of the saved value: a certificate is only
+    # valid at the iterate it was measured on, and a stale True from the
+    # checkpointed iterate could combine with stall gates evaluated at a
+    # different resumed iterate.  The nested loop below re-evaluates it
+    # every CERT_PERIOD iterations exactly like solve_device, so a resumed
+    # infeasible LP classifies INFEASIBLE_PROBLEM_DETECTED instead of
+    # grinding to max_iter (round-2 advisor finding).
+    state = state._replace(
+        status=jnp.asarray(int(Status.REGULAR), jnp.int32),
+        ls_cert=jnp.asarray(False),
+    )
 
-    def body(s):
-        return driver._loop_body(cfg, prob_s, s)
+    def outer(s):
+        s = driver._refresh_cert(cfg, prob_s, s)
+
+        def inner_cond(c):
+            st, i = c
+            return (st.status == int(Status.REGULAR)) & (i < driver.CERT_PERIOD)
+
+        def inner_body(c):
+            st, i = c
+            return driver._loop_body(cfg, prob_s, st), i + 1
+
+        s, _ = lax.while_loop(inner_cond, inner_body, (s, jnp.asarray(0)))
+        return s
 
     run = jax.jit(
         lambda s: lax.while_loop(
-            lambda st: st.status == int(Status.REGULAR), body, s
+            lambda st: st.status == int(Status.REGULAR), outer, s
         )
     )
     state = run(state)

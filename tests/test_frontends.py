@@ -127,3 +127,31 @@ class TestCheckpoint:
         assert stats.success
         assert stats.objective == pytest.approx(ref_stats.objective, abs=1e-7)
         assert stats.iter >= 3  # counter carried through the checkpoint
+
+    def test_resume_detects_infeasibility(self, tmp_path):
+        # An INFEASIBLE LP checkpointed mid-grind and resumed must still
+        # classify INFEASIBLE_PROBLEM_DETECTED: resume() re-evaluates the
+        # least-squares certificate every CERT_PERIOD iterations exactly
+        # like solve_device (round-2 fix: the old resume loop never
+        # refreshed ls_cert, so the stall classifier's gate stayed shut and
+        # the solve ground to max_iter).
+        import jax
+        from functools import partial
+        from madipm_tpu.solver import driver
+
+        qp = mt.from_dense(
+            c=[1.0, 1.0], A=[[1.0, 0.0], [1.0, 0.0]],
+            lcon=[1.0, 3.0], ucon=[1.0, 3.0],  # x0 = 1 AND x0 = 3
+            lvar=[0.0, 0.0], uvar=[np.inf, np.inf],
+        )
+        solver = mt.MPCSolver(qp, max_iter=500, **OPTS)
+        prob_s, scale, st = jax.jit(partial(driver.initialize, solver.cfg))(solver.prob)
+        step = jax.jit(partial(driver.iteration, solver.cfg))
+        for _ in range(5):
+            st = step(prob_s, st)
+        path = str(tmp_path / "infeas.npz")
+        save_state(path, st)
+
+        stats = resume(solver, load_state(path))
+        assert stats.status == mt.Status.INFEASIBLE_PROBLEM_DETECTED
+        assert stats.iter < 400  # classified, not ground to max_iter
