@@ -199,15 +199,26 @@ def from_mps(
         qp, flag, post = presolve_qp(qp)
         if not flag:
             if post.status == Status.PRESOLVE_SOLVED:
-                x = post.fixed_vals
+                # Fully solved in presolve: recover the primal through the
+                # elimination replay (free-singleton/duplicate columns are
+                # DYNAMIC — fixed_vals alone is not the solution) and the
+                # duals through the same machinery with an empty reduced
+                # solution (surviving rows, if any, are empty: y = 0).
+                x = post.x(np.empty(0))
+                y, zl, zu = post.duals(
+                    x,
+                    np.zeros(post.keep_rows.size),
+                    np.zeros(post.keep_cols.size),
+                    np.zeros(post.keep_cols.size),
+                )
                 return IPMStats(
                     status=Status.PRESOLVE_SOLVED,
                     objective=sign * qp.obj(x),
                     solution=x,
                     constraints=qp.cons(x),
-                    multipliers=np.zeros(qp.ncon),
-                    multipliers_L=np.zeros(qp.nvar),
-                    multipliers_U=np.zeros(qp.nvar),
+                    multipliers=y,
+                    multipliers_L=zl,
+                    multipliers_U=zu,
                     iter=0,
                     primal_feas=0.0,
                     dual_feas=np.nan,

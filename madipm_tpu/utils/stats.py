@@ -42,7 +42,9 @@ class IPMStats:
 
     @property
     def success(self) -> bool:
-        return self.status in (Status.SOLVE_SUCCEEDED, Status.SOLVED_TO_ACCEPTABLE_LEVEL)
+        from .status import SUCCESS_STATUSES
+
+        return self.status in SUCCESS_STATUSES
 
     def message(self) -> str:
         return get_status_output(self.status)

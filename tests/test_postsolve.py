@@ -35,7 +35,19 @@ def _solve_pipeline(qp0, **options):
     """presolve -> Ruiz -> standard form -> solve -> full postsolve,
     mirroring frontends.from_mps."""
     qp, flag, post = presolve_qp(qp0)
-    assert flag
+    if not flag:
+        # Presolve fully resolved the model (the round-3 reduction set can
+        # do that on small fixtures): recover primal + duals through the
+        # same postsolve machinery and let the caller KKT-check them.
+        assert post.status is not None and post.status.name == "PRESOLVE_SOLVED"
+        x = post.x(np.empty(0))
+        y, zl, zu = post.duals(
+            x,
+            np.zeros(post.keep_rows.size),
+            np.zeros(post.keep_cols.size),
+            np.zeros(post.keep_cols.size),
+        )
+        return x, y, zl, zu
     qp, ruiz = scale_qp(qp)
     qp, sf_map = standard_form(qp, return_map=True)
     stats = mt.madipm(qp, print_level=mt.PrintLevel.ERROR, **options)
@@ -199,3 +211,114 @@ class TestFromMpsDuals:
             qp_min, stats.solution, stats.multipliers,
             stats.multipliers_L, stats.multipliers_U,
         )
+
+
+class TestReductionMix:
+    """Round-3 presolve breadth (VERDICT #4): plant every reduction class
+    into randomized LPs and pin (a) that the reductions FIRE, (b) original-
+    model KKT stationarity of the postsolved duals, (c) objective agreement
+    with HiGHS on the untouched original model."""
+
+    def _planted_model(self, seed):
+        rng = np.random.default_rng(1000 + seed)
+        m, n = 6, 12
+        A0 = rng.normal(size=(m, n)) * (rng.random((m, n)) < 0.7)
+        A0[:, :3] = np.abs(A0[:, :3])  # forcing-row block needs known signs
+        lvar = np.zeros(n)
+        uvar = np.full(n, 10.0)
+        xstar = rng.uniform(0.5, 1.5, n)
+        xstar[:3] = 0.0  # forced to lower bounds by the forcing row
+        b = A0 @ xstar
+        c = rng.normal(size=n)
+
+        rows = [A0]
+        lcon = [b]
+        ucon = [b]
+        # duplicate row: 2x row 0, consistent bounds
+        rows.append(2.0 * A0[0:1])
+        lcon.append(2.0 * b[0:1])
+        ucon.append(2.0 * b[0:1])
+        # redundant row: activity in [-30, 30] within [-100, 100]
+        red = np.zeros((1, n))
+        red[0, 3:6] = [1.0, -1.0, 1.0]
+        rows.append(red)
+        lcon.append([-100.0])
+        ucon.append([100.0])
+        # forcing row: sum of x0..x2 <= 0 with x >= 0 forces them to 0
+        frc = np.zeros((1, n))
+        frc[0, :3] = [1.0, 2.0, 1.5]
+        rows.append(frc)
+        lcon.append([-np.inf])
+        ucon.append([0.0])
+        # singleton row: x7 <= 3 (tightens uvar 10)
+        sng = np.zeros((1, n))
+        sng[0, 7] = 1.0
+        rows.append(sng)
+        lcon.append([-np.inf])
+        ucon.append([3.0])
+
+        A = np.vstack(rows)
+        lcon = np.concatenate(lcon)
+        ucon = np.concatenate(ucon)
+
+        # duplicate column: x12 = scaled copy of x5 (c and A proportional)
+        s = 2.0
+        A = np.hstack([A, s * A[:, 5:6]])
+        c = np.concatenate([c, [s * c[5]]])
+        lvar = np.concatenate([lvar, [0.0]])
+        uvar = np.concatenate([uvar, [4.0]])
+
+        # free singleton column: x13 free, in ONE new equality row
+        ncol = A.shape[1]
+        A = np.hstack([A, np.zeros((A.shape[0], 1))])
+        fs_row = np.zeros((1, ncol + 1))
+        fs_row[0, 4] = 1.0
+        fs_row[0, 6] = -2.0
+        fs_row[0, ncol] = 1.0  # the free singleton
+        A = np.vstack([A, fs_row])
+        lcon = np.concatenate([lcon, [1.0]])
+        ucon = np.concatenate([ucon, [1.0]])
+        c = np.concatenate([c, [rng.normal()]])
+        lvar = np.concatenate([lvar, [-np.inf]])
+        uvar = np.concatenate([uvar, [np.inf]])
+
+        return QuadraticModel(
+            c=c, A=sp.csr_matrix(A), lcon=lcon, ucon=ucon, lvar=lvar, uvar=uvar
+        )
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_planted_reductions_fire_and_duals_exact(self, seed):
+        qp = self._planted_model(seed)
+        red, flag, post = presolve_qp(qp)
+        # Every planted reduction class must fire.
+        assert len(post.dup_rows) >= 1, "duplicate row not detected"
+        assert len(post.forcing_rows) >= 1, "forcing row not detected"
+        assert any(e[0] == "fs" for e in post.col_elims), "free singleton missed"
+        assert any(e[0] == "dup" for e in post.col_elims), "duplicate column missed"
+        if flag:
+            assert red.ncon <= qp.ncon - 4  # dup + redundant + forcing + fs rows gone
+            assert red.nvar <= qp.nvar - 5  # 3 forced + dup col + fs col gone
+
+        x, y, zl, zu = _solve_pipeline(qp)
+        _check_kkt(qp, x, y, zl, zu)
+
+        # Objective parity vs HiGHS on the ORIGINAL model.
+        from scipy.optimize import linprog
+
+        A_dense = qp.A.toarray()
+        ref = linprog(
+            qp.c,
+            A_ub=np.vstack([A_dense, -A_dense]),
+            b_ub=np.concatenate([
+                np.where(np.isfinite(qp.ucon), qp.ucon, 1e12),
+                np.where(np.isfinite(qp.lcon), -qp.lcon, 1e12),
+            ]),
+            bounds=list(zip(
+                [v if np.isfinite(v) else None for v in qp.lvar],
+                [v if np.isfinite(v) else None for v in qp.uvar],
+            )),
+            method="highs",
+        )
+        assert ref.status == 0, f"oracle infeasible (seed {seed})"
+        ours = float(qp.c @ x + qp.c0)
+        assert ours == pytest.approx(ref.fun, abs=2e-5 * (1.0 + abs(ref.fun)))
