@@ -44,14 +44,26 @@ def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH) and not _try_build():
-        return None
+    src = os.path.join(_LIB_DIR, "mps_native.cpp")
+    stale = (
+        os.path.exists(_LIB_PATH)
+        and os.path.exists(src)
+        and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+    )
+    if (not os.path.exists(_LIB_PATH) or stale) and not _try_build():
+        if not os.path.exists(_LIB_PATH):
+            return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
         return None
     lib.mps_parse.restype = ctypes.c_void_p
     lib.mps_parse.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    if hasattr(lib, "mps_parse2"):
+        lib.mps_parse2.restype = ctypes.c_void_p
+        lib.mps_parse2.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32]
+        lib.mps_unknown_refs.restype = ctypes.c_int64
+        lib.mps_unknown_refs.argtypes = [ctypes.c_void_p]
     lib.mps_dims.argtypes = [ctypes.c_void_p] + [
         ctypes.POINTER(ctypes.c_int64)
     ] * 4 + [ctypes.POINTER(ctypes.c_int32)]
@@ -81,9 +93,12 @@ def available() -> bool:
     return _load() is not None
 
 
-def native_parse_mps(text: str, name: str = "mps"):
+def native_parse_mps(text: str, name: str = "mps", fixed: bool = False):
     """Parse MPS text with the C++ parser; returns a QuadraticModel.
 
+    ``fixed=True`` uses column-anchored fields (classic fixed MPS; names
+    may contain embedded spaces).  Requires a library built from the
+    current source (mps_parse2); older builds fall back to free-format.
     Raises RuntimeError if the native library is unavailable.
     """
     import scipy.sparse as sp
@@ -95,10 +110,18 @@ def native_parse_mps(text: str, name: str = "mps"):
         raise RuntimeError("native library not available; use models.mps.parse_mps")
 
     raw = text.encode()
-    h = lib.mps_parse(raw, len(raw))
+    if hasattr(lib, "mps_parse2"):
+        h = lib.mps_parse2(raw, len(raw), 1 if fixed else 0)
+    else:
+        if fixed:
+            raise RuntimeError("native library too old for fixed-format MPS")
+        h = lib.mps_parse(raw, len(raw))
+    n_unknown = 0
     if not h:
         raise RuntimeError("native MPS parse failed")
     try:
+        if hasattr(lib, "mps_unknown_refs"):
+            n_unknown = int(lib.mps_unknown_refs(ctypes.c_void_p(h)))
         nvar = ctypes.c_int64()
         ncon = ctypes.c_int64()
         nnz = ctypes.c_int64()
@@ -140,6 +163,7 @@ def native_parse_mps(text: str, name: str = "mps"):
         minimize=not bool(maximize.value),
     )
     model._integer_cols = np.flatnonzero(integer_mask).tolist()  # type: ignore[attr-defined]
+    model._n_unknown_refs = n_unknown  # type: ignore[attr-defined]
     return model
 
 

@@ -40,6 +40,7 @@ struct MpsData {
   std::vector<double> c, lvar, uvar, lcon, ucon;
   std::vector<uint8_t> integer_mask;
   std::vector<char> row_type;  // 'L','G','E'
+  int64_t n_unknown = 0;  // dropped row references (fixed-format signature)
 };
 
 // Split a line into whitespace-separated tokens (no allocation per token).
@@ -59,7 +60,60 @@ inline std::string upper(std::string t) {
   return t;
 }
 
-MpsData* parse_mps_text(const char* text, size_t len) {
+// Classic fixed-MPS field positions (0-indexed, end-exclusive):
+// F1 type, F2 name, F3 name, F4 value, F5 name, F6 value.  Names keep
+// EMBEDDED spaces (ends stripped); a '$' starting field 3 or 5 comments
+// out the rest of the line.  Mirrors models/mps.py::_fixed_split.
+inline void fixed_fields(const char* s, size_t len, std::string out[6]) {
+  static const size_t kF[6][2] = {{1, 3}, {4, 12}, {14, 22}, {24, 36}, {39, 47}, {49, 61}};
+  for (int k = 0; k < 6; k++) {
+    size_t a = kF[k][0], b = std::min(kF[k][1], len);
+    std::string f = (a < len) ? std::string(s + a, b - a) : std::string();
+    size_t st = f.find_first_not_of(" \t\r");
+    size_t en = f.find_last_not_of(" \t\r");
+    f = (st == std::string::npos) ? std::string() : f.substr(st, en - st + 1);
+    if ((k == 2 || k == 4) && !f.empty() && f[0] == '$') {
+      for (int z = k; z < 6; z++) out[z].clear();
+      return;
+    }
+    out[k] = f;
+  }
+}
+
+// Map the positional fields onto the token shapes the free-format body
+// consumes (mirrors models/mps.py::parse_mps._fixed_tok).
+inline void fixed_tokenize(const char* s, size_t len, int section,
+                           std::vector<std::string>& out) {
+  // section codes: 2=ROWS 3=COLUMNS 4=RHS 5=RANGES 6=BOUNDS 7=QUAD
+  std::string f[6];
+  fixed_fields(s, len, f);
+  out.clear();
+  if (section == 2) {  // ROWS
+    if (!f[0].empty()) out.push_back(f[0]);
+    if (!f[1].empty()) out.push_back(f[1]);
+  } else if (section == 3 || section == 7) {  // COLUMNS / QUAD
+    if (upper(f[2]) == "'MARKER'") {
+      out.push_back(f[1]);
+      out.push_back(f[2]);
+      out.push_back(f[4]);
+      return;
+    }
+    out.push_back(f[1]);
+    if (!f[2].empty() && !f[3].empty()) { out.push_back(f[2]); out.push_back(f[3]); }
+    if (!f[4].empty() && !f[5].empty()) { out.push_back(f[4]); out.push_back(f[5]); }
+  } else if (section == 4 || section == 5) {  // RHS / RANGES
+    if (!f[1].empty()) out.push_back(f[1]);
+    if (!f[2].empty() && !f[3].empty()) { out.push_back(f[2]); out.push_back(f[3]); }
+    if (!f[4].empty() && !f[5].empty()) { out.push_back(f[4]); out.push_back(f[5]); }
+  } else {  // BOUNDS
+    out.push_back(f[0]);
+    out.push_back(f[1].empty() ? std::string("BND") : f[1]);
+    out.push_back(f[2]);
+    if (!f[3].empty()) out.push_back(f[3]);
+  }
+}
+
+MpsData* parse_mps_text(const char* text, size_t len, bool fixed = false) {
   auto* d = new MpsData();
   std::unordered_map<std::string, int32_t> rows;  // constraint rows only
   std::unordered_map<std::string, int32_t> cols;
@@ -100,7 +154,15 @@ MpsData* parse_mps_text(const char* text, size_t len) {
     if (llen == 0) continue;
     if (line[0] == '*') continue;
     bool header = !std::isspace((unsigned char)line[0]);
-    tokenize(line, llen, tok);
+    if (fixed && !header && sec >= ROWS && sec <= QUAD) {
+      fixed_tokenize(line, llen, (int)sec, tok);
+    } else {
+      tokenize(line, llen, tok);
+      // Free-format '$' comment: a token starting with $ ends the line.
+      for (size_t z = 0; z < tok.size(); z++) {
+        if (!tok[z].empty() && tok[z][0] == '$') { tok.resize(z); break; }
+      }
+    }
     if (tok.empty()) continue;
 
     if (header) {
@@ -163,6 +225,7 @@ MpsData* parse_mps_text(const char* text, size_t len) {
           } else {
             auto it = rows.find(tok[k]);
             if (it != rows.end()) d->A.push_back({it->second, j, v});
+            else d->n_unknown++;
           }
         }
         break;
@@ -176,6 +239,7 @@ MpsData* parse_mps_text(const char* text, size_t len) {
           } else {
             auto it = rows.find(tok[k]);
             if (it != rows.end()) rhs[it->second] = v;
+            else d->n_unknown++;
           }
         }
         break;
@@ -278,6 +342,20 @@ void* mps_parse(const char* text, int64_t len) {
   } catch (...) {
     return nullptr;
   }
+}
+
+// Format-aware entry (fixed != 0 -> column-anchored fields); kept separate
+// from mps_parse so older .so files stay ABI-compatible with the bindings.
+void* mps_parse2(const char* text, int64_t len, int32_t fixed) {
+  try {
+    return parse_mps_text(text, (size_t)len, fixed != 0);
+  } catch (...) {
+    return nullptr;
+  }
+}
+
+int64_t mps_unknown_refs(void* h) {
+  return static_cast<MpsData*>(h)->n_unknown;
 }
 
 void mps_dims(void* h, int64_t* nvar, int64_t* ncon, int64_t* nnz,

@@ -36,6 +36,11 @@ CASES = [
     ("bounds_noname.mps", -5.0),
     ("quadobj.qps", -1.0 / 3.0),
     ("qmatrix.qps", -1.0 / 3.0),
+    # FIXED-format fixtures (column-anchored names with embedded spaces,
+    # $ comments, markers, blank bound-set fields) — parseable ONLY by the
+    # fixed path; read_mps must auto-detect (round-3, VERDICT #5).
+    ("fixed_spaces.mps", 3.5),
+    ("fixed_marker.mps", -5.0),
 ]
 
 
@@ -161,3 +166,61 @@ class TestParsedDetails:
         b = read_mps(_path("qmatrix.qps"), use_native=False)
         np.testing.assert_allclose(a.Q.toarray(), b.Q.toarray())
         np.testing.assert_allclose(a.Q.toarray(), [[2.0, 1.0], [1.0, 2.0]])
+
+
+class TestFixedFormat:
+    """Fixed-format auto-detection and field semantics (round-3)."""
+
+    @pytest.mark.parametrize("fn,nv,nc", [
+        ("fixed_spaces.mps", 2, 2),
+        ("fixed_marker.mps", 2, 1),
+    ])
+    @pytest.mark.parametrize("use_native", [False, True])
+    def test_autodetect_resolves_all_refs(self, fn, nv, nc, use_native):
+        if use_native:
+            from madipm_tpu.models.native import available
+
+            if not available():
+                pytest.skip("native parser not built")
+        qp = read_mps(_path(fn), use_native=use_native)
+        assert qp.nvar == nv and qp.ncon == nc
+        assert getattr(qp, "_n_unknown_refs", 0) == 0
+
+    def test_embedded_space_names_and_obj_rhs(self):
+        qp = read_mps(_path("fixed_spaces.mps"), use_native=False)
+        # RHS on the objective row enters as c0 = -(-1.5)
+        assert qp.c0 == 1.5
+        assert np.allclose(qp.c, [1.0, 3.0])
+        assert qp.uvar[0] == 5.0
+
+    def test_marker_relaxation_and_blank_set(self):
+        qp = read_mps(_path("fixed_marker.mps"), use_native=False)
+        assert qp._integer_cols == [0]  # INTORG region, relaxed
+        assert qp.uvar[0] == 2.0  # blank bound-set field still parsed
+        assert qp.ucon[0] == 3.0  # field-3 $ comment line was ignored
+
+
+class TestRoundtripFuzz:
+    """Writer <-> parser property fuzz (scripts/fuzz_mps_roundtrip.py runs
+    the 500-model version; this keeps a 40-model smoke in CI)."""
+
+    def test_fuzz_40(self):
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+        from fuzz_mps_roundtrip import compare, random_model
+
+        from madipm_tpu.models.mps import read_mps as _read, write_mps
+        from madipm_tpu.models.native import available
+
+        rng = np.random.default_rng(42)
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "f.mps")
+            for it in range(40):
+                qp, _ = random_model(rng)
+                write_mps(qp, p)
+                compare(qp, _read(p, use_native=False), f"iter {it} py")
+                if available():
+                    compare(qp, _read(p, use_native=True), f"iter {it} cc")
