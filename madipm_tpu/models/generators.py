@@ -229,6 +229,81 @@ def known_optimum_lp(m: int, n: int, seed: int = 0, density: float = 0.2,
     return model, info
 
 
+def known_optimum_qp(m: int, n: int, seed: int = 0, density: float = 0.2,
+                     q_rank: int = None, degenerate: bool = False,
+                     sparse_q: bool = False, name: str = None):
+    """Convex QP with an exactly-constructed primal-dual optimal pair —
+    the Maros–Mészáros-role analogue of :func:`known_optimum_lp`
+    (VERDICT round-2 directive #8): oracle-free rel-KKT <= 1e-8 evidence
+    for the QP path (K2 augmented and K1 condensed alike).
+
+    Construction (stationarity c + Qx + A'y - zl + zu = 0, the solver's
+    sign convention, solver/kernels.py):
+
+    - Q = B'B + d I  (SPD; ``sparse_q`` makes B sparse so the K1 sparse
+      path sees a realistic Hessian pattern),
+    - pick x*: interior / at-lower(0) / at-upper(u) thirds,
+    - y* random; zl* > 0 exactly on the at-lower set, zu* > 0 on the
+      at-upper set,
+    - c := -Q x* - A' y* + zl* - zu*,  b := A x*.
+
+    Convexity makes the KKT point the GLOBAL optimum, so objective and
+    rel-KKT can be checked to machine precision with no oracle.
+    ``degenerate=True`` zeroes some active-set multipliers and pins some
+    interior x* to a bound (primal + dual degeneracy).
+
+    Returns (model, info) with info = dict(x=x*, y=y*, zl=zl*, zu=zu*,
+    obj=c'x* + x*'Qx*/2).
+    """
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((m, n)) * (rng.random((m, n)) < density)
+    empty = np.flatnonzero(np.abs(A).sum(axis=1) == 0)
+    for r in empty:
+        A[r, rng.integers(n)] = 1.0
+    if q_rank is None:
+        q_rank = max(1, n // 4)
+    B = rng.standard_normal((q_rank, n)) / np.sqrt(q_rank)
+    if sparse_q:
+        B *= rng.random((q_rank, n)) < 0.3
+    Q = B.T @ B + np.diag(rng.random(n) * 0.5 + 0.1)
+
+    uvar = np.full(n, np.inf)
+    fin = rng.permutation(n)[: n // 2]
+    uvar[fin] = rng.random(n // 2) * 2.0 + 1.0
+
+    kinds = rng.integers(0, 3, n)  # 0 interior, 1 at lower, 2 at upper
+    kinds[~np.isfinite(uvar)] = np.where(
+        kinds[~np.isfinite(uvar)] == 2, 0, kinds[~np.isfinite(uvar)]
+    )
+    x = np.where(
+        kinds == 0,
+        rng.random(n) * np.where(np.isfinite(uvar), 0.8 * uvar, 1.0) + 0.1,
+        np.where(kinds == 1, 0.0, uvar),
+    )
+    x = np.where(np.isfinite(uvar), np.minimum(x, uvar), x)
+    y = rng.standard_normal(m)
+    zl = np.where(kinds == 1, rng.random(n) + 0.2, 0.0)
+    zu = np.where(kinds == 2, rng.random(n) + 0.2, 0.0)
+    if degenerate:
+        low = np.flatnonzero(kinds == 1)
+        if low.size:
+            zl[rng.choice(low, size=max(1, low.size // 6), replace=False)] = 0.0
+        inter = np.flatnonzero(kinds == 0)
+        if inter.size:
+            pin = rng.choice(inter, size=max(1, inter.size // 8), replace=False)
+            x[pin] = 0.0  # primal-degenerate: at the bound with zl = 0
+    c = zl - zu - Q @ x - A.T @ y  # stationarity exact by construction
+    b = A @ x
+    model = QuadraticModel(
+        c=c, A=sp.csr_matrix(A), lcon=b, ucon=b, lvar=np.zeros(n),
+        uvar=uvar, Q=sp.csr_matrix(Q),
+        name=name or f"knownqp_{m}x{n}{'_deg' if degenerate else ''}",
+    )
+    obj = float(c @ x + 0.5 * x @ (Q @ x))
+    info = dict(x=x, y=y, zl=zl, zu=zu, obj=obj)
+    return model, info
+
+
 def structured_suite(scale: int = 1, seed0: int = 7):
     """A mixed suite of structured instances at roughly Netlib scale
     (multiply dimensions by ``scale``)."""

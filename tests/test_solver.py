@@ -689,3 +689,49 @@ class TestKnownOptimum:
         assert st.success
         assert abs(st.objective - info["obj"]) <= 1e-6 * max(1.0, abs(info["obj"]))
         assert self._rel_kkt(qp, st) <= 1e-6
+
+
+class TestKnownOptimumQP:
+    """Convex QPs with exactly-constructed KKT pairs
+    (models/generators.known_optimum_qp): the Maros–Mészáros-role
+    oracle-free rel-KKT evidence, through BOTH QP formulations (K2
+    augmented, K1 condensed) and the sparse path (VERDICT round-2 #8)."""
+
+    @staticmethod
+    def _rel_kkt_qp(qp, st):
+        x, y, zl, zu = st.solution, st.multipliers, st.multipliers_L, st.multipliers_U
+        A = qp.A.toarray()
+        r_p = np.max(np.abs(A @ x - qp.lcon)) / max(1.0, np.max(np.abs(qp.lcon)))
+        r_d = qp.c + qp.Q @ x + A.T @ y - zl + zu
+        r_d = np.max(np.abs(r_d)) / max(1.0, np.max(np.abs(qp.c)))
+        sl = np.where(np.isfinite(qp.lvar), x - qp.lvar, 0.0)
+        su = np.where(np.isfinite(qp.uvar), qp.uvar - x, 0.0)
+        compl = max(np.max(np.abs(sl * zl)), np.max(np.abs(su * zu))) / max(
+            1.0, np.max(np.abs(qp.c))
+        )
+        return max(r_p, r_d, compl)
+
+    @pytest.mark.parametrize("kkt", ["AUGMENTED", "CONDENSED"])
+    @pytest.mark.parametrize("deg", [False, True])
+    def test_exact_objective_and_kkt(self, kkt, deg):
+        from madipm_tpu.models.generators import known_optimum_qp
+
+        qp, info = known_optimum_qp(20, 40, seed=11 + deg, degenerate=deg,
+                                    sparse_q=True)
+        st = _solve(qp, kkt_system=getattr(mt.KKTSystem, kkt))
+        assert st.success, st.status
+        scale = max(1.0, abs(info["obj"]))
+        assert abs(st.objective - info["obj"]) <= 1e-6 * scale
+        assert self._rel_kkt_qp(qp, st) <= 1e-6
+
+    def test_sparse_k1_path(self):
+        # The sparse device path (SparseDeviceQP + K1) must reach the same
+        # certificate on a sparse-Hessian instance.
+        from madipm_tpu.models.generators import known_optimum_qp
+
+        qp, info = known_optimum_qp(24, 64, seed=21, density=0.15,
+                                    sparse_q=True)
+        st = _solve(qp, sparse=True, kkt_system=mt.KKTSystem.CONDENSED)
+        assert st.success, st.status
+        assert abs(st.objective - info["obj"]) <= 1e-6 * max(1.0, abs(info["obj"]))
+        assert self._rel_kkt_qp(qp, st) <= 1e-6
