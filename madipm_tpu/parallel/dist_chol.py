@@ -211,6 +211,81 @@ def dist_factor_normal(
     return fn(A, dinv, row_mask)
 
 
+def dist_factor_condensed(
+    mesh: Mesh, A_eff, Qd, sigma, live, gamma, shift, factor_dtype,
+    axis: str = "cols",
+):
+    """Distributed K1 (CONDENSED) factorization — multi-chip QPs.
+
+    Assembles ``C = diag(sigma) + Q + gamma * A' diag(live) A`` (the SPD
+    size-n system of ops/kkt._assemble_condensed) with A ROW-sharded over
+    the mesh axis: each device forms its partial ``gamma * A_p' L_p A_p``
+    ([n, n]) from its row block, a reduce-scatter lands the row STRIPS of
+    C on their factoring devices, Q/sigma strips are added locally, and
+    the same panel Cholesky as the NORMAL path factors in place.  C and
+    its factor are never materialized on one device.
+
+    ``A_eff`` must already be free-column-masked (caller passes
+    ``A * free``), ``Qd`` the free-masked dense Hessian (or None for an
+    LP), ``live`` the live-row indicator.  Returns (L, W, jac, ok) with
+    L/W row-strip-sharded, jac replicated.  Reference capability: GPU QP
+    solves via cuDSS (test/test_gpu.jl:9-21), here spread over a mesh.
+    """
+    fdt = jnp.dtype(factor_dtype)
+    n = A_eff.shape[1]
+
+    def local(A_p, live_p, Q_p, sigma_):
+        p = lax.axis_index(axis)
+        nshards = lax.axis_size(axis)
+        nb = n // nshards
+        Af = A_p.astype(fdt) * live_p.astype(fdt)[:, None]
+        C_part = jnp.dot(Af.T, A_p.astype(fdt), preferred_element_type=fdt)
+        C_part = C_part * jnp.asarray(gamma, fdt)
+        C_strip = lax.psum_scatter(C_part, axis, scatter_dimension=0, tiled=True)
+        if Q_p is not None:
+            C_strip = C_strip + Q_p.astype(fdt)
+        rows_g = p * nb + jnp.arange(nb)
+        sig_strip = lax.dynamic_slice(sigma_.astype(fdt), (p * nb,), (nb,))
+        C_strip = C_strip.at[jnp.arange(nb), rows_g].add(sig_strip)
+        dC_strip = C_strip[jnp.arange(nb), rows_g]
+        dC = lax.all_gather(dC_strip, axis, tiled=True)  # [n] replicated
+        jac = lax.rsqrt(jnp.maximum(dC, jnp.finfo(fdt).tiny))
+        jac_strip = lax.dynamic_slice(jac, (p * nb,), (nb,))
+        Chat = C_strip * jac_strip[:, None] * jac[None, :]
+        if shift:
+            Chat = Chat.at[jnp.arange(nb), rows_g].add(jnp.asarray(shift, fdt))
+        L_p, W_p = _local_cholesky(mesh, axis, Chat)
+        diag_L = L_p[jnp.arange(nb), rows_g]
+        ok_local = (
+            jnp.all(jnp.isfinite(L_p))
+            & jnp.all(jnp.isfinite(W_p))
+            & jnp.all(diag_L > 0)
+        )
+        ok = lax.psum(ok_local.astype(jnp.int32), axis) == nshards
+        return L_p, W_p, jac, ok
+
+    in_specs = (P(axis, None), P(axis), P(axis, None) if Qd is not None else P(), P(None))
+    if Qd is None:
+        # shard_map requires array args; thread a scalar placeholder.
+        def local2(A_p, live_p, _z, sigma_):
+            return local(A_p, live_p, None, sigma_)
+
+        fn = shard_map(
+            local2, mesh=mesh,
+            in_specs=in_specs,
+            out_specs=(P(axis, None), P(axis, None), P(None), P()),
+            check_vma=False,
+        )
+        return fn(A_eff, live, jnp.zeros(()), sigma)
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(P(axis, None), P(axis, None), P(None), P()),
+        check_vma=False,
+    )
+    return fn(A_eff, live, Qd, sigma)
+
+
 def schur_normal_solve_dist(
     mesh: Mesh, A, dinv, rx, rp, row_mask, del_c, axis: str = "cols"
 ):

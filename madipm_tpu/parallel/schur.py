@@ -60,7 +60,9 @@ def shard_columns(prob: DeviceQP, mesh: Mesh, axis: str = "cols") -> DeviceQP:
         b=put(prob.b, row),
         row_mask=put(prob.row_mask, row),
         y0=put(prob.y0, row),
-        Q=None if prob.Q is None else put(prob.Q, NamedSharding(mesh, P(axis, axis))),
+        # Q row-sharded: matches the dist-K1 strip layout (a P(axis, axis)
+        # spec is illegal — one mesh axis cannot shard two dimensions).
+        Q=None if prob.Q is None else put(prob.Q, NamedSharding(mesh, P(axis, None))),
     )
 
 

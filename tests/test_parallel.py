@@ -224,3 +224,63 @@ class TestIntegratedDistFactor:
         assert stats.success
         ref = scipy_linprog(c, A, b, lvar, uvar)
         assert stats.objective == pytest.approx(ref.fun, abs=1e-5)
+
+
+class TestDistCondensed:
+    """Distributed K1 (CONDENSED): multi-chip QPs (round-3, VERDICT #6).
+    The size-n SPD system is assembled from row-sharded A blocks and
+    strip-factored (parallel/dist_chol.dist_factor_condensed); parity is
+    pinned against the replicated K1 solve."""
+
+    def _qp_model(self, seed, n=24, m=8):
+        rng = np.random.default_rng(seed)
+        A = rng.standard_normal((m, n))
+        xstar = rng.random(n) + 0.5
+        B = rng.standard_normal((n // 2, n)) / np.sqrt(n)
+        Q = B.T @ B + 0.3 * np.eye(n)
+        import scipy.sparse as sp
+
+        from madipm_tpu.models.qp import QuadraticModel
+
+        return QuadraticModel(
+            c=rng.standard_normal(n), A=sp.csr_matrix(A),
+            lcon=A @ xstar, ucon=A @ xstar,
+            lvar=np.zeros(n), uvar=np.full(n, np.inf),
+            Q=sp.csr_matrix(Q),
+        )
+
+    def test_dense_qp_parity(self):
+        mesh = make_mesh(8, axis_names=("cols",))
+        qp = self._qp_model(31)
+        opts = dict(
+            print_level=mt.PrintLevel.ERROR, kkt_system=mt.KKTSystem.CONDENSED
+        )
+        ref = mt.MPCSolver(qp, **opts).solve(logged=False)
+        assert ref.success
+        solver = mt.MPCSolver(qp, mesh=mesh, **opts)
+        from madipm_tpu.utils.options import KKTSystem
+
+        assert solver.cfg.kkt.kind == KKTSystem.CONDENSED
+        assert solver.cfg.kkt.dist_mesh is mesh
+        stats = solver.solve(logged=False)
+        assert stats.success, stats.status
+        assert stats.objective == pytest.approx(ref.objective, abs=1e-7)
+        assert stats.iter == ref.iter  # identical iterate path
+
+    def test_dense_qp_fp32_strip_factor(self):
+        # TPU-flavored config: fp32 strip factor + fp64 PCG recovery.
+        mesh = make_mesh(8, axis_names=("cols",))
+        qp = self._qp_model(32)
+        opts = dict(
+            print_level=mt.PrintLevel.ERROR,
+            kkt_system=mt.KKTSystem.CONDENSED,
+            linear_solver=mt.LinearSolver.CHOLESKY_INV,
+            factor_dtype="float32",
+            refinement_steps=8,
+        )
+        ref = mt.MPCSolver(qp, **opts).solve(logged=False)
+        solver = mt.MPCSolver(qp, mesh=mesh, **opts)
+        stats = solver.solve(logged=False)
+        assert stats.success, stats.status
+        assert ref.success
+        assert stats.objective == pytest.approx(ref.objective, abs=1e-6)
