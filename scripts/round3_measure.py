@@ -66,8 +66,8 @@ def child_probe():
             "wall_s": round(time.time() - t0, 2)}
 
 
-def _tpu_opts(mt, refinement=12):
-    return dict(
+def _tpu_opts(mt, refinement=12, share=False):
+    d = dict(
         tol=1e-8,
         max_iter=300,
         regularization=mt.FixedRegularization(1e-8, -1e-8),
@@ -77,6 +77,11 @@ def _tpu_opts(mt, refinement=12):
         refinement_steps=refinement,
         pcg_adaptive_tol=True,
     )
+    if share:
+        # Shared-slice Ozaki transpose: A'-matvecs reuse the forward
+        # slices, halving slice HBM (the k-scaling / m=4096 memory lever).
+        d["ozaki_share_slices"] = True
+    return d
 
 
 def _mfu_lb(m, n, iters_total, wall):
@@ -100,7 +105,7 @@ def _mfu_lb(m, n, iters_total, wall):
     return tflops, tflops / 197.0
 
 
-def child_shape(m, n, k, density, runs=3):
+def child_shape(m, n, k, density, runs=3, share=False):
     import numpy as np
 
     jax, backend = _child_setup()
@@ -110,7 +115,7 @@ def child_shape(m, n, k, density, runs=3):
     import bench as benchmod
 
     models = benchmod.make_suite(k=k, n=n, m=m, density=density)
-    opts = _tpu_opts(mt) if backend != "cpu" else dict(
+    opts = _tpu_opts(mt, share=share) if backend != "cpu" else dict(
         tol=1e-8, max_iter=300,
         regularization=mt.FixedRegularization(1e-8, -1e-8),
         print_level=mt.PrintLevel.ERROR,
@@ -120,7 +125,7 @@ def child_shape(m, n, k, density, runs=3):
     rate = iters / wall
     tflops, mfu = _mfu_lb(m, n, iters, wall)
     return {
-        "task": f"shape_m{m}_n{n}_k{k}", "backend": backend,
+        "task": f"shape_m{m}_n{n}_k{k}{'_share' if share else ''}", "backend": backend,
         "m": m, "n": n, "k": k, "density": density,
         "iter_per_s": round(rate, 2), "iters": iters,
         "wall_s": round(wall, 4), "solved": solved,
@@ -138,8 +143,7 @@ def child_sparse(m, n, k, density):
     import jax.numpy as jnp
 
     import madipm_tpu as mt
-    from madipm_tpu.models.sparse import pad_sparse_to_device
-    from madipm_tpu.parallel.batch import batched_stats
+    from madipm_tpu.parallel.batch import batched_stats, bucket_pad_sparse
     from madipm_tpu.solver import driver
     from madipm_tpu.utils.options import load_options
     import bench as benchmod
@@ -153,12 +157,9 @@ def child_sparse(m, n, k, density):
     # Sparse path keeps emulated-fp64 SpMV (gather-bound; CLAUDE.md).
     opt = load_options(**opts)
     from functools import partial
-    from madipm_tpu.models.qp import slack_form
     import dataclasses as _dc
 
-    slacked = [slack_form(mdl) for mdl in models]
-    probs = [pad_sparse_to_device(sm, kkt="normal") for sm in slacked]
-    prob = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *probs)
+    prob, slacked = bucket_pad_sparse(models)
     cfg = driver.make_config(opt, is_qp=False)
 
     def _solve(probs_, bscale):
@@ -257,8 +258,16 @@ TASKS = {
     # Sparse path at a tall shape (dense padded A = m*n*8B = 0.5 GB/inst +
     # 2-copy Ozaki slices would be ~2.3 GB/inst -> dense not viable at k=4).
     "sparse": {"fn": "sparse", "args": dict(m=2048, n=32768, k=4, density=0.004), "timeout": 3000},
+    # Reduced-program fallback: the n=32k sparse program crashed the
+    # tunneled TPU worker during compile (same environment signature as
+    # dense m=4096, 2026-08-21).
+    "sparse16k": {"fn": "sparse", "args": dict(m=2048, n=16384, k=2, density=0.006), "timeout": 2400},
     # Dense m=4096 retry (crashed the tunneled worker 3/3 on 2026-08-21 r2).
-    "4096retry": {"fn": "shape", "args": dict(m=4096, n=8192, k=2, density=0.05), "timeout": 2400},
+    "4096retry": {"fn": "shape", "args": dict(m=4096, n=8192, k=2, density=0.05, share=True), "timeout": 2400},
+    # Shared-slice retries of the k-scaling points that OOM in the
+    # two-copy layout.
+    "k64_1024s": {"fn": "shape", "args": dict(m=1024, n=2048, k=64, density=0.15, share=True), "timeout": 3000},
+    "k16_2048s": {"fn": "shape", "args": dict(m=2048, n=4096, k=16, density=0.1, share=True), "timeout": 3000},
     # HiGHS serial baselines (CPU child; ~6 min/instance at m=2048 -> sample).
     "highs192": {"fn": "highs", "args": dict(m=192, n=384, k=16, density=0.3, sample=16), "timeout": 1800},
     "highs512": {"fn": "highs", "args": dict(m=512, n=1024, k=16, density=0.3, sample=16), "timeout": 1800},
