@@ -56,7 +56,11 @@ def main():
         print_level=mt.PrintLevel.ERROR,
         linear_solver=mt.LinearSolver.CHOLESKY_INV,
         factor_dtype="float32",
-        refinement_steps=6,
+        # Round-3 re-test at the CURRENT default budget (12, was 6 when
+        # round 2 measured 0/8 for "high"/"default"): the budget, not the
+        # tolerance rule, was what bound at the barrier floor — a weaker
+        # 3-pass preconditioner might now converge within the doubled cap.
+        refinement_steps=12,
         pcg_adaptive_tol=True,
     )
 

@@ -381,3 +381,43 @@ class TestCondensedCholInv:
         assert ref.success and inv.success
         assert inv.objective == pytest.approx(ref.objective, rel=1e-7)
         assert np.allclose(inv.solution, ref.solution, atol=1e-5)
+
+
+class TestFactorizeForceOk:
+    def test_force_ok_disarms_retry(self):
+        """factorize(force_ok=True) must accept the FIRST attempt without
+        x100 regularization bumps — the finished-lane neutralization hook
+        (a vmapped converged lane's factorization may legitimately fail;
+        its results are discarded, but its retries would run for every
+        lane)."""
+        import jax.numpy as jnp
+
+        import madipm_tpu as mt
+        from madipm_tpu.models.qp import pad_to_device, slack_form
+        from madipm_tpu.ops import kkt as kkt_ops
+        from madipm_tpu.utils.options import KKTSystem, LinearSolver
+
+        # Duplicate rows -> singular normal matrix at del_c = 0.
+        qp = mt.from_dense(
+            c=[1.0, 1.0], A=[[1.0, 1.0], [1.0, 1.0]], lcon=[1.0, 1.0],
+            ucon=[1.0, 1.0], lvar=[0.0, 0.0], uvar=[np.inf, np.inf],
+        )
+        prob = pad_to_device(slack_form(qp))
+        cfg = kkt_ops.KKTConfig(
+            kind=KKTSystem.NORMAL,
+            linear_solver=LinearSolver.CHOLESKY,
+            factor_dtype=jnp.float64,
+            refinement_steps=0,
+            max_factor_trials=3,
+        )
+        x = jnp.where(prob.free_mask, 0.5, jnp.where(prob.col_mask, prob.lb, 0.0))
+        z = jnp.zeros(prob.n)
+        # Without force_ok: retries bump del_c away from 0 to rescue the
+        # exactly-singular normal matrix.
+        _, dw1, dc1, ok1 = kkt_ops.factorize(cfg, prob, x, z, z, 1e-8, 0.0)
+        assert bool(ok1) and float(dc1) != 0.0
+        # With force_ok: first attempt accepted, regularization untouched.
+        _, dw2, dc2, ok2 = kkt_ops.factorize(
+            cfg, prob, x, z, z, 1e-8, 0.0, force_ok=jnp.asarray(True)
+        )
+        assert bool(ok2) and float(dc2) == 0.0 and float(dw2) == 1e-8
