@@ -200,6 +200,13 @@ def main():
         # 1e-11/1e-13): measured +56% iter/s over fixed 1e-12/1e-14 exits
         # at this shape with objectives unchanged to 2e-9 (scripts/ablate.py).
         opts["pcg_adaptive_tol"] = True
+        # Preconditioner-only predictor: the affine solve applies the fp32
+        # factor and skips the fp64 PCG (no operator application) — the
+        # centering heuristics it feeds only need a few digits.  Measured
+        # +27% (m=1024) / +22% (m=2048) at 8/8 solved under the perturbed
+        # protocol, objectives unchanged to 7e-9; iteration counts grow
+        # ~7% and the wall still wins (scripts/ablate_predictor.py).
+        opts["predictor_pcg_budget"] = 0
 
     iters, wall, stats = bench_tpu(models, opts)
     solved = sum(s.success for s in stats)

@@ -632,6 +632,16 @@ def solve_condensed(
             # the inexact-Newton hook: early IPM iterations tolerate step
             # residuals proportional to mu (driver passes a mu-scaled
             # tolerance when opt.pcg_adaptive_tol is on).
+            if pcg_budget == 0:
+                # Preconditioner-only solve: apply the (fp32) factor and
+                # skip the fp64 PCG altogether — no operator application,
+                # no residual check.  Used for the PREDICTOR when
+                # predictor_pcg_budget=0: the affine direction only feeds
+                # centering heuristics that need a few digits.
+                dy = solve_fn(r2).astype(r2.dtype)
+                dy = jnp.where(live, dy, 0.0)
+                dx = dinv * (rx - prob.rmatvec(dy))
+                return dx, dy
             mixed = (
                 cfg.use_flex_pcg
                 and factors.L.dtype != r2.dtype
@@ -707,6 +717,12 @@ def solve_condensed(
                 cv = cv + prob.qmatvec(vx)
             return jnp.where(free, cv, v)
 
+        if cfg.refinement_steps > 0 and pcg_budget == 0:
+            # Preconditioner-only (see the NORMAL branch note).
+            dx = solve_fn(rhs).astype(rhs.dtype)
+            dx = jnp.where(free, dx, 0.0)
+            dy = jnp.where(live, -gamma * (rp - prob.matvec(dx)), 0.0)
+            return dx, dy
         if cfg.refinement_steps > 0:
             rt = 1e-14 if pcg_rtol is None else pcg_rtol
             iters = (

@@ -82,6 +82,9 @@ class SolverConfig:
     #: None = auto (share the forward slices for A'-matvecs when the slice
     #: pair would exceed ~1 GB); see IPMOptions.ozaki_share_slices.
     ozaki_share_slices: Optional[bool] = None
+    #: predictor PCG budget; None = max(2, refinement_steps // 2); 0 =
+    #: preconditioner-only affine solve (see IPMOptions.predictor_pcg_budget).
+    predictor_pcg_budget: Optional[int] = None
 
 
 def make_config(
@@ -192,6 +195,7 @@ def make_config(
         use_ozaki=use_ozaki,
         ozaki_variant=ozaki_variant,
         ozaki_share_slices=opt.ozaki_share_slices,
+        predictor_pcg_budget=opt.predictor_pcg_budget,
     )
 
 
@@ -588,9 +592,14 @@ def _direction_phase(
     # src/linear_solver.jl:6-44).
     if rhs_aff is None:
         rhs_aff = K.predictor_rhs(prob, x, y, zl, zu, ax, aty)
+    pred_budget = (
+        cfg.predictor_pcg_budget
+        if cfg.predictor_pcg_budget is not None
+        else max(2, cfg.kkt.refinement_steps // 2)
+    )
     dx, dy = solve(
         rhs_aff.rx, rhs_aff.rp,
-        pcg_budget=max(2, cfg.kkt.refinement_steps // 2),
+        pcg_budget=pred_budget,
         pcg_rtol=rtol_pred,
     )
     dzl, dzu = K.recover_bound_duals(prob, x, zl, zu, rhs_aff, dx)

@@ -256,6 +256,17 @@ class IPMOptions:
     #: 8/8 solved at +0% cost on healthy lanes, which exit on rtol long
     #: before the cap; scripts/ablate_robust2048.py, 2026-08-21).
     refinement_steps: int = 12
+    #: PCG iteration budget of the PREDICTOR (affine-scaling) solve.
+    #: None = max(2, refinement_steps // 2) (the default since round 1).
+    #: 0 = preconditioner-only: apply the fp32 factor solve and skip the
+    #: fp64 PCG entirely — no operator application, no residual check.
+    #: The affine direction only shapes the centering heuristics (mu_aff,
+    #: sigma, the Mehrotra correction products), which need ~2-3 digits,
+    #: so a factor-accurate direction can suffice; the corrector (the
+    #: actual step) always solves to full accuracy.  Saves ~2 fp64
+    #: A-applications per iteration — measure solve rate before adopting
+    #: (scripts/ablate_predictor.py).
+    predictor_pcg_budget: Optional[int] = None
 
     # Compute dtype of the factorization ("float64" on CPU tests; "float32"
     # + refinement on TPU). None = pick by backend.

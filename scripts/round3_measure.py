@@ -76,6 +76,7 @@ def _tpu_opts(mt, refinement=12, share=False):
         factor_dtype="float32",
         refinement_steps=refinement,
         pcg_adaptive_tol=True,
+        predictor_pcg_budget=0,
     )
     if share:
         # Shared-slice Ozaki transpose: A'-matvecs reuse the forward

@@ -253,6 +253,7 @@ def main():
             factor_dtype="float32",
             refinement_steps=12,
             pcg_adaptive_tol=True,  # headline bench config (bench.py)
+            predictor_pcg_budget=0,  # preconditioner-only predictor (bench.py)
         )
 
     # --- Collect instances
