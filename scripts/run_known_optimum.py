@@ -77,6 +77,7 @@ def main():
             factor_dtype="float32",
             refinement_steps=12,
             pcg_adaptive_tol=True,
+            predictor_pcg_budget=0,  # adopted bench config (round 3)
         )
 
     if args.qp:
