@@ -735,3 +735,48 @@ class TestKnownOptimumQP:
         assert st.success, st.status
         assert abs(st.objective - info["obj"]) <= 1e-6 * max(1.0, abs(info["obj"]))
         assert self._rel_kkt_qp(qp, st) <= 1e-6
+
+
+class TestPredictorBudget:
+    """predictor_pcg_budget (round-3 perf lever): the preconditioner-only
+    affine solve must preserve convergence and objectives under the
+    fp32-factor config (the adopted TPU bench setting; measured +22-64%
+    iter/s on hardware, scripts/ablate_predictor.py)."""
+
+    @pytest.mark.parametrize("budget", [0, 2])
+    def test_fp32_factor_convergence(self, budget):
+        from tests.conftest import random_lp, scipy_linprog
+
+        for seed in (31, 32):
+            c, A, b, lv, uv = random_lp(None, 60, 20, seed=seed)
+            qp = mt.from_dense(c=c, A=A, lcon=b, ucon=b, lvar=lv, uvar=uv)
+            st = _solve(
+                qp,
+                linear_solver=mt.LinearSolver.CHOLESKY_INV,
+                factor_dtype="float32",
+                refinement_steps=12,
+                pcg_adaptive_tol=True,
+                predictor_pcg_budget=budget,
+                regularization=mt.FixedRegularization(1e-8, -1e-8),
+            )
+            assert st.success, (seed, budget, st.status)
+            ref = scipy_linprog(c, A, b, lv, uv)
+            assert st.objective == pytest.approx(ref.fun, abs=2e-6 * (1 + abs(ref.fun)))
+
+    def test_known_optimum_certificate(self):
+        # The 1e-8 rel-KKT certificate must survive the cheap predictor.
+        from madipm_tpu.models.generators import known_optimum_lp
+
+        qp, info = known_optimum_lp(32, 96, seed=6, degenerate=True)
+        st = _solve(
+            qp,
+            linear_solver=mt.LinearSolver.CHOLESKY_INV,
+            factor_dtype="float32",
+            refinement_steps=12,
+            pcg_adaptive_tol=True,
+            predictor_pcg_budget=0,
+            regularization=mt.FixedRegularization(1e-8, -1e-8),
+        )
+        assert st.success
+        assert abs(st.objective - info["obj"]) <= 1e-6 * max(1.0, abs(info["obj"]))
+        assert TestKnownOptimum._rel_kkt(qp, st) <= 1e-6
