@@ -229,6 +229,10 @@ def main():
                     help="use the ELL sparse Jacobian path (serial mode, LP only) "
                          "for large instances the dense padded layout can't hold")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument("--warmup", action="store_true",
+                    help="serial mode: solve each instance twice and record "
+                         "the SECOND (warm) time — excludes XLA compilation, "
+                         "matching the reference protocol's timing semantics")
     ap.add_argument("--timed", action="store_true",
                     help="serial mode: run the phase-timed driver so each row "
                          "records linear_solver_time (reference "
@@ -298,6 +302,8 @@ def main():
         for name, model, p in prepared:
             try:
                 solver = mt.MPCSolver(p, sparse=True if args.sparse else None, **opts)
+                if args.warmup:
+                    solver.solve(timed=args.timed)  # compile + warm caches
                 stats = solver.solve(timed=args.timed)
                 rows.append(record_row(name, p, stats))
                 log(f"{name}: status={stats.status.name} iter={stats.iter} "
