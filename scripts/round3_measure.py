@@ -268,6 +268,7 @@ TASKS = {
     # Shared-slice retries of the k-scaling points that OOM in the
     # two-copy layout.
     "k64_1024s": {"fn": "shape", "args": dict(m=1024, n=2048, k=64, density=0.15, share=True), "timeout": 3000},
+    "4096k4": {"fn": "shape", "args": dict(m=4096, n=8192, k=4, density=0.05, share=True), "timeout": 2400},
     "k16_2048s": {"fn": "shape", "args": dict(m=2048, n=4096, k=16, density=0.1, share=True), "timeout": 3000},
     # HiGHS serial baselines (CPU child; ~6 min/instance at m=2048 -> sample).
     "highs192": {"fn": "highs", "args": dict(m=192, n=384, k=16, density=0.3, sample=16), "timeout": 1800},
