@@ -207,6 +207,14 @@ def main():
         # protocol, objectives unchanged to 7e-9; iteration counts grow
         # ~7% and the wall still wins (scripts/ablate_predictor.py).
         opts["predictor_pcg_budget"] = 0
+        # Loosen the corrector's adaptive-rtol upper clamp (default 1e-9):
+        # early/mid iterations exit the PCG right after the factor-solve +
+        # residual check instead of polishing to 1e-9.  Marginal but
+        # consistently positive (+1-2% at m=1024/m=2048, 8/8 solved,
+        # objectives unchanged to 6.5e-9, iteration counts equal or lower;
+        # results/ablate-corrtol-tpu.txt) — the fp32 factor already exits
+        # the corrector PCG in ~1 iteration, so little was left to save.
+        opts["pcg_tol_cap"] = 1e-6
 
     iters, wall, stats = bench_tpu(models, opts)
     solved = sum(s.success for s in stats)

@@ -70,6 +70,9 @@ class SolverConfig:
     check_residual: bool
     tol_linear_solve: float
     pcg_adaptive_tol: bool = False
+    #: upper clamp for the corrector's mu-adaptive PCG rtol (predictor clamp
+    #: = max(1e-8, 10x this); see IPMOptions.pcg_tol_cap).
+    pcg_tol_cap: float = 1e-9
     #: balanced-central-path coefficient (see _direction_phase); 0 disables.
     mu_balance: float = 1e-2
     #: evaluate fp64 A-matvecs via the error-free bf16 Ozaki slicing on the
@@ -191,6 +194,7 @@ def make_config(
         check_residual=opt.check_residual,
         tol_linear_solve=opt.tol_linear_solve,
         pcg_adaptive_tol=opt.pcg_adaptive_tol,
+        pcg_tol_cap=opt.pcg_tol_cap,
         mu_balance=opt.mu_balance,
         use_ozaki=use_ozaki,
         ozaki_variant=ozaki_variant,
@@ -581,7 +585,7 @@ def _direction_phase(
     # threshold (src/linear_solver.jl:28-43).  Off -> fixed tight defaults.
     rtol_pred = rtol_corr = None
     if cfg.pcg_adaptive_tol:
-        rtol_pred = jnp.clip(0.05 * state.mu, 1e-11, 1e-8)
+        rtol_pred = jnp.clip(0.05 * state.mu, 1e-11, max(1e-8, 10 * cfg.pcg_tol_cap))
 
     # Predictor (reference prediction_step!, src/solver.jl:230-237).
     # The affine direction only shapes the centering heuristics, so it gets
@@ -638,7 +642,7 @@ def _direction_phase(
 
     # Mehrotra corrector (reference mehrotra_correction_direction!)
     if cfg.pcg_adaptive_tol:
-        rtol_corr = jnp.clip(0.01 * mu_new, 1e-13, 1e-9)
+        rtol_corr = jnp.clip(0.01 * mu_new, 1e-13, cfg.pcg_tol_cap)
     rhs_c = K.corrector_rhs(prob, x, y, zl, zu, mu_new, corr_l, corr_u, ax, aty)
     dx, dy = solve(rhs_c.rx, rhs_c.rp, pcg_rtol=rtol_corr)
     dzl, dzu = K.recover_bound_duals(prob, x, zl, zu, rhs_c, dx)

@@ -245,6 +245,16 @@ class IPMOptions:
     #: outer iteration, cutting per-iteration PCG sweeps.  Off by default —
     #: matches the reference's fixed-accuracy direct solves.
     pcg_adaptive_tol: bool = False
+    #: upper clamp of the corrector's mu-adaptive PCG exit tolerance (only
+    #: read when pcg_adaptive_tol=True; the predictor's clamp is 10x this,
+    #: floored at its historical 1e-8).  The default 1e-9 makes every
+    #: early/mid IPM iteration solve its corrector to 1e-9 relative even
+    #: though the outer iteration only needs a residual well under mu —
+    #: raising the cap trades extra IPM iterations for fewer fp64 PCG
+    #: operator applications per iteration.  Measure before adopting
+    #: (scripts/ablate_corrtol.py); the late phase is unaffected either
+    #: way (mu < cap/0.01 re-enters the mu-proportional regime).
+    pcg_tol_cap: float = 1e-9
     #: max fp64 iterative-refinement sweeps after each fp32 factor-solve on
     #: TPU (0 disables; load-bearing for reaching tol=1e-8 with an MXU fp32
     #: factorization).  The refinement loop exits early on convergence, so
