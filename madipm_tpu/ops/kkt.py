@@ -560,8 +560,22 @@ def solve_condensed(
     rp,
     pcg_budget: Optional[int] = None,
     pcg_rtol=None,
+    return_products: bool = False,
 ):
     """Solve [Sigma+Q, A'; A, del_c][dx; dy] = [rx; rp].
+
+    ``return_products=True`` additionally returns ``(A dx, A' dy)`` so the
+    driver can advance its memoized ``A x / A' y`` pair by recurrence
+    instead of recomputing it (2 of the ~8 fp64 A-applications per MPC
+    iteration).  On the NORMAL fp64-PCG path both come free from solve
+    byproducts: ``A' dy`` is the back-substitution's own product and
+    ``A dx = rp + r_pcg - del_c*dy`` (from dx = Sigma^-1(rx - A'dy) and
+    S dy = r2 - r_pcg).  ``A dx`` then carries the PCG's recursive-residual
+    drift, O(eps64)/iteration — callers accumulating across iterations must
+    resync periodically (the fused driver recomputes the pair exactly at
+    every CERT_PERIOD chunk boundary).  Paths without a tracked residual
+    (direct solves, flex PCG, K1, AUGMENTED) fall back to explicit
+    products — never wrong, merely not free.
 
     NORMAL path mirrors the reference's condensation stack
     (src/KKT/normalkkt.jl:196-219): r2 = A Sigma^-1 rx - rp, SPD solve for
@@ -597,6 +611,7 @@ def solve_condensed(
         r2 = jnp.where(live, r2, 0.0)
 
         jac = factors.jac
+        r_pcg = None  # PCG residual byproduct (return_products fast path)
 
         if isinstance(factors, DistNormalFactors):
             from ..parallel import dist_chol
@@ -640,7 +655,10 @@ def solve_condensed(
                 # centering heuristics that need a few digits.
                 dy = solve_fn(r2).astype(r2.dtype)
                 dy = jnp.where(live, dy, 0.0)
-                dx = dinv * (rx - prob.rmatvec(dy))
+                atdy = prob.rmatvec(dy)
+                dx = dinv * (rx - atdy)
+                if return_products:
+                    return dx, dy, jnp.where(live, prob.matvec(dx), 0.0), atdy
                 return dx, dy
             mixed = (
                 cfg.use_flex_pcg
@@ -667,17 +685,31 @@ def solve_condensed(
                     )
             elif pcg_budget is not None:
                 rt = 1e-12 if pcg_rtol is None else pcg_rtol
-                dy = linalg.pcg(solve_fn, matvec, r2, max_iters=pcg_budget, rtol=rt)
+                out = linalg.pcg(
+                    solve_fn, matvec, r2, max_iters=pcg_budget, rtol=rt,
+                    return_residual=return_products,
+                )
+                dy, r_pcg = out if return_products else (out, None)
             else:
                 rt = 1e-14 if pcg_rtol is None else pcg_rtol
-                dy = linalg.pcg(
-                    solve_fn, matvec, r2, max_iters=4 * cfg.refinement_steps, rtol=rt
+                out = linalg.pcg(
+                    solve_fn, matvec, r2, max_iters=4 * cfg.refinement_steps,
+                    rtol=rt, return_residual=return_products,
                 )
+                dy, r_pcg = out if return_products else (out, None)
         else:
             dy = solve_fn(r2).astype(r2.dtype)
         dy = jnp.where(live, dy, 0.0)
 
-        dx = dinv * (rx - prob.rmatvec(dy))
+        atdy = prob.rmatvec(dy)
+        dx = dinv * (rx - atdy)
+        if return_products:
+            if r_pcg is not None:
+                adx = jnp.where(live, rp + r_pcg - factors.del_c * dy, 0.0)
+            else:
+                # direct/flex paths: no tracked residual — explicit product
+                adx = jnp.where(live, prob.matvec(dx), 0.0)
+            return dx, dy, adx, atdy
         return dx, dy
     elif isinstance(factors, (CondensedFactors, DistCondensedFactors)):
         # K1: (Sigma + Q + gamma A'A) dx = rx + gamma A' rp, then recover
@@ -721,7 +753,10 @@ def solve_condensed(
             # Preconditioner-only (see the NORMAL branch note).
             dx = solve_fn(rhs).astype(rhs.dtype)
             dx = jnp.where(free, dx, 0.0)
-            dy = jnp.where(live, -gamma * (rp - prob.matvec(dx)), 0.0)
+            adx = prob.matvec(dx)
+            dy = jnp.where(live, -gamma * (rp - adx), 0.0)
+            if return_products:
+                return dx, dy, jnp.where(live, adx, 0.0), prob.rmatvec(dy)
             return dx, dy
         if cfg.refinement_steps > 0:
             rt = 1e-14 if pcg_rtol is None else pcg_rtol
@@ -744,7 +779,12 @@ def solve_condensed(
         else:
             dx = solve_fn(rhs).astype(rhs.dtype)
         dx = jnp.where(free, dx, 0.0)
-        dy = jnp.where(live, -gamma * (rp - prob.matvec(dx)), 0.0)
+        adx = prob.matvec(dx)
+        dy = jnp.where(live, -gamma * (rp - adx), 0.0)
+        if return_products:
+            # A dx comes free from the dy recovery; A' dy costs one extra
+            # half-pair — still cheaper than the driver's full memo pair.
+            return dx, dy, jnp.where(live, adx, 0.0), prob.rmatvec(dy)
         return dx, dy
     else:
         n = prob.n
@@ -786,6 +826,11 @@ def solve_condensed(
         sol = linalg.refine(solve_fn, matvec, rhs, cfg.refinement_steps)
         dx = jnp.where(free, sol[:n], 0.0)
         dy = jnp.where(live, sol[n:], 0.0)
+        if return_products:
+            return (
+                dx, dy,
+                jnp.where(live, prob.matvec(dx), 0.0), prob.rmatvec(dy),
+            )
         return dx, dy
 
 

@@ -360,7 +360,8 @@ def pcg_flex(precond_fn, matvec_fn, rhs: jax.Array, max_iters: int, rtol: float 
     return best_x
 
 
-def pcg(solve_fn, matvec_fn, rhs: jax.Array, max_iters: int, rtol: float = 1e-14) -> jax.Array:
+def pcg(solve_fn, matvec_fn, rhs: jax.Array, max_iters: int, rtol: float = 1e-14,
+        return_residual: bool = False) -> jax.Array:
     """Preconditioned conjugate gradient in fp64 with a low-precision factor
     as preconditioner.
 
@@ -373,6 +374,12 @@ def pcg(solve_fn, matvec_fn, rhs: jax.Array, max_iters: int, rtol: float = 1e-14
     ``solve_fn`` applies the preconditioner (fp32 Cholesky solve);
     ``matvec_fn`` applies the exact fp64 operator.  Falls back gracefully:
     the iterate with the smallest residual seen is returned.
+
+    ``return_residual=True`` additionally returns the residual VECTOR
+    ``rhs - matvec_fn(best_x)`` tracked alongside ``best_x`` — by CG's
+    recursive update, so it drifts from the true residual by O(eps64) per
+    iteration.  Consumers that accumulate it across outer iterations (the
+    driver's A x / A' y recurrence) must resync periodically.
     """
     norm_rhs = jnp.max(jnp.abs(rhs))
     tol = rtol * jnp.maximum(1.0, norm_rhs)
@@ -383,11 +390,11 @@ def pcg(solve_fn, matvec_fn, rhs: jax.Array, max_iters: int, rtol: float = 1e-14
     rn0 = jnp.max(jnp.abs(r0))
 
     def cond(c):
-        i, _x, r, _z, _p, _rz, _bx, brn = c
+        i, _x, r, _z, _p, _rz, _bx, _br, brn = c
         return (i < max_iters) & (jnp.max(jnp.abs(r)) > tol) & (brn > tol)
 
     def body(c):
-        i, x, r, z, p, rz, best_x, best_rn = c
+        i, x, r, z, p, rz, best_x, best_r, best_rn = c
         Ap = matvec_fn(p)
         pAp = jnp.dot(p, Ap)
         alpha = rz / jnp.where(pAp != 0, pAp, 1.0)
@@ -400,6 +407,7 @@ def pcg(solve_fn, matvec_fn, rhs: jax.Array, max_iters: int, rtol: float = 1e-14
         rn = jnp.max(jnp.abs(r))
         better = (rn < best_rn) & jnp.all(jnp.isfinite(x))
         best_x = jnp.where(better, x, best_x)
+        best_r = jnp.where(better, r, best_r)
         best_rn = jnp.where(better, rn, best_rn)
         # Breakdown protection: a non-finite recurrence ends the loop on the
         # best iterate seen (r=0 exits `cond`; best_x is what's returned).
@@ -410,8 +418,10 @@ def pcg(solve_fn, matvec_fn, rhs: jax.Array, max_iters: int, rtol: float = 1e-14
         bad = ~jnp.all(jnp.isfinite(r))
         x = jnp.where(bad, best_x, x)
         r = jnp.where(bad, jnp.zeros_like(r), r)
-        return (i + 1, x, r, z, p, rz_new, best_x, best_rn)
+        return (i + 1, x, r, z, p, rz_new, best_x, best_r, best_rn)
 
-    init = (0, x0, r0, z0, z0, jnp.dot(r0, z0), x0, rn0)
-    _, _, _, _, _, _, best_x, _ = lax.while_loop(cond, body, init)
+    init = (0, x0, r0, z0, z0, jnp.dot(r0, z0), x0, r0, rn0)
+    _, _, _, _, _, _, best_x, best_r, _ = lax.while_loop(cond, body, init)
+    if return_residual:
+        return best_x, best_r
     return best_x

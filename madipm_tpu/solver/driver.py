@@ -70,8 +70,8 @@ class SolverConfig:
     check_residual: bool
     tol_linear_solve: float
     pcg_adaptive_tol: bool = False
-    #: upper clamp for the corrector's mu-adaptive PCG rtol (predictor clamp
-    #: = max(1e-8, 10x this); see IPMOptions.pcg_tol_cap).
+    #: upper clamp for the corrector's mu-adaptive PCG rtol (the predictor
+    #: clamp is fixed at 1e-8; see IPMOptions.pcg_tol_cap).
     pcg_tol_cap: float = 1e-9
     #: balanced-central-path coefficient (see _direction_phase); 0 disables.
     mu_balance: float = 1e-2
@@ -88,6 +88,10 @@ class SolverConfig:
     #: predictor PCG budget; None = max(2, refinement_steps // 2); 0 =
     #: preconditioner-only affine solve (see IPMOptions.predictor_pcg_budget).
     predictor_pcg_budget: Optional[int] = None
+    #: advance the memoized A x / A' y termination pair by recurrence from
+    #: corrector-solve byproducts instead of recomputing it every loop trip
+    #: (see IPMOptions.product_recurrence); exact resync every CERT_PERIOD.
+    product_recurrence: bool = True
 
 
 def make_config(
@@ -200,6 +204,7 @@ def make_config(
         ozaki_variant=ozaki_variant,
         ozaki_share_slices=opt.ozaki_share_slices,
         predictor_pcg_budget=opt.predictor_pcg_budget,
+        product_recurrence=opt.product_recurrence,
     )
 
 
@@ -553,12 +558,16 @@ def _factor_phase(cfg: SolverConfig, prob: DeviceQP, state: IPMState, active=Non
 
 def _direction_phase(
     cfg: SolverConfig, prob: DeviceQP, state: IPMState,
-    factors, ax, aty, active=None, rhs_aff=None,
+    factors, ax, aty, active=None, rhs_aff=None, return_products=False,
 ):
     """Predictor + Mehrotra corrector (+ Gondzio) KKT solves.  Returns the
     accepted direction and the new barrier parameter; solve-dominated (the
     RHS builds in here are elementwise O(n) glue given the precomputed
     ax/aty pair — no A-applications outside the solves).
+
+    ``return_products=True`` appends ``(A dx, A' dy)`` of the ACCEPTED
+    direction (Gondzio-corrected if accepted) to the return tuple, taken
+    from solve byproducts — the fused driver's A x / A' y recurrence.
 
     ``active`` (see _factor_phase): a non-REGULAR lane's solve rhs is
     zeroed, so every PCG exits on its first residual check (r0 = 0) instead
@@ -585,7 +594,13 @@ def _direction_phase(
     # threshold (src/linear_solver.jl:28-43).  Off -> fixed tight defaults.
     rtol_pred = rtol_corr = None
     if cfg.pcg_adaptive_tol:
-        rtol_pred = jnp.clip(0.05 * state.mu, 1e-11, max(1e-8, 10 * cfg.pcg_tol_cap))
+        # The predictor clamp is FIXED at its historical 1e-8, decoupled
+        # from pcg_tol_cap: every loosened-cap measurement ran with
+        # predictor_pcg_budget=0 (the rtol unused), so a coupled clamp
+        # would silently move a live predictor PCG (e.g. the K1 path,
+        # where its polish is load-bearing) into an unmeasured regime
+        # (round-3 advisor).
+        rtol_pred = jnp.clip(0.05 * state.mu, 1e-11, 1e-8)
 
     # Predictor (reference prediction_step!, src/solver.jl:230-237).
     # The affine direction only shapes the centering heuristics, so it gets
@@ -644,7 +659,13 @@ def _direction_phase(
     if cfg.pcg_adaptive_tol:
         rtol_corr = jnp.clip(0.01 * mu_new, 1e-13, cfg.pcg_tol_cap)
     rhs_c = K.corrector_rhs(prob, x, y, zl, zu, mu_new, corr_l, corr_u, ax, aty)
-    dx, dy = solve(rhs_c.rx, rhs_c.rp, pcg_rtol=rtol_corr)
+    adx = atdy = None
+    if return_products:
+        dx, dy, adx, atdy = solve(
+            rhs_c.rx, rhs_c.rp, pcg_rtol=rtol_corr, return_products=True
+        )
+    else:
+        dx, dy = solve(rhs_c.rx, rhs_c.rp, pcg_rtol=rtol_corr)
     dzl, dzu = K.recover_bound_duals(prob, x, zl, zu, rhs_c, dx)
 
     # Optional linear-solve residual guardrail (reference solve_system!
@@ -679,7 +700,14 @@ def _direction_phase(
             rhs_g = K.corrector_rhs(
                 prob, x, y, zl, zu, mu_g, corr_l2, corr_u2, ax, aty
             )
-            dx2, dy2 = solve(rhs_g.rx, rhs_g.rp, pcg_rtol=rtol_corr)
+            adx2 = atdy2 = None
+            if return_products:
+                dx2, dy2, adx2, atdy2 = solve(
+                    rhs_g.rx, rhs_g.rp, pcg_rtol=rtol_corr,
+                    return_products=True,
+                )
+            else:
+                dx2, dy2 = solve(rhs_g.rx, rhs_g.rp, pcg_rtol=rtol_corr)
             dzl2, dzu2 = K.recover_bound_duals(prob, x, zl, zu, rhs_g, dx2)
             hat_ap, hat_ad = K.fraction_to_boundary(
                 prob, x, zl, zu, dx2, dzl2, dzu2, tau_g
@@ -704,22 +732,35 @@ def _direction_phase(
             dy = jnp.where(accept, dy2, dy)
             dzl = jnp.where(accept, dzl2, dzl)
             dzu = jnp.where(accept, dzu2, dzu)
+            if return_products:
+                adx = jnp.where(accept, adx2, adx)
+                atdy = jnp.where(accept, atdy2, atdy)
             corr_l = jnp.where(accept, corr_l2, corr_l)
             corr_u = jnp.where(accept, corr_u2, corr_u)
             alpha_p_g = jnp.where(accept, hat_ap, alpha_p_g)
             alpha_d_g = jnp.where(accept, hat_ad, alpha_d_g)
             stopped = stopped | reject
 
+    if return_products:
+        return dx, dy, dzl, dzu, mu_new, mu_curr, solve_bad, adx, atdy
     return dx, dy, dzl, dzu, mu_new, mu_curr, solve_bad
 
 
 def _step_phase(
     cfg: SolverConfig, prob: DeviceQP, state: IPMState,
     dx, dy, dzl, dzu, mu_new, mu_curr, solve_bad,
-    del_w, del_c, reg_p, reg_d,
+    del_w, del_c, reg_p, reg_d, products=None,
 ) -> IPMState:
     """Step rule + apply step + failure/salvage mapping (reference
-    update_step_size!/apply_step!, src/solver.jl:352-358)."""
+    update_step_size!/apply_step!, src/solver.jl:352-358).
+
+    ``products=(ax, aty, adx, atdy)`` switches on the A x / A' y
+    recurrence: the return becomes ``(state, ax_new, aty_new)`` with
+    ``ax_new = ax + alpha_p * A dx`` (and likewise the dual pair), subject
+    to the same salvage/failure masking as the iterate itself — a salvaged
+    lane keeps its old pair (old x), a failed lane's pair is poisoned to
+    NaN so a later termination check cannot claim convergence from a
+    finite-but-fictitious residual over a NaN iterate."""
     prob = dataclasses.replace(prob, lb=state.lb, ub=state.ub)
     x, y, zl, zu = state.x, state.y, state.zl, state.zu
 
@@ -779,7 +820,22 @@ def _step_phase(
     zl, zu = keep(zl, state.zl), keep(zu, state.zu)
     lb_new, ub_new = keep(lb_new, state.lb), keep(ub_new, state.ub)
 
-    return state._replace(
+    prod_out = None
+    if products is not None:
+        ax0, aty0, adx, atdy = products
+        nan = jnp.asarray(jnp.nan, ax0.dtype)
+        # bad & ~salvage: x was stepped with non-finite pieces — poison the
+        # pair (matches A @ x_new having NaNs) so update_termination cannot
+        # flip the lane to SOLVED off a fictitious finite residual.
+        ax_new = jnp.where(
+            salvage, ax0, jnp.where(bad, nan, ax0 + alpha_p * adx)
+        )
+        aty_new = jnp.where(
+            salvage, aty0, jnp.where(bad, nan, aty0 + alpha_d * atdy)
+        )
+        prod_out = (ax_new, aty_new)
+
+    new_state = state._replace(
         x=x, y=y, zl=zl, zu=zu, lb=lb_new, ub=ub_new,
         dx=dx, dy=dy, dzl=dzl, dzu=dzu,
         mu=mu_new, mu_curr=mu_curr,
@@ -788,11 +844,14 @@ def _step_phase(
         k=state.k + 1,
         status=status,
     )
+    if prod_out is not None:
+        return new_state, prod_out[0], prod_out[1]
+    return new_state
 
 
 def iteration(
     cfg: SolverConfig, prob: DeviceQP, state: IPMState, ax=None, aty=None,
-    active=None,
+    active=None, return_products=False,
 ) -> IPMState:
     """One MPC iteration: the three phases composed (fused under jit; XLA
     schedules across the phase boundaries exactly as before the split).
@@ -818,6 +877,17 @@ def iteration(
         if aty is None:
             aty = prob_b.rmatvec(state.y)
     factors, del_w, del_c, reg_p, reg_d = _factor_phase(cfg, prob, state, active)
+    if return_products:
+        (dx, dy, dzl, dzu, mu_new, mu_curr, solve_bad, adx, atdy) = (
+            _direction_phase(
+                cfg, prob, state, factors, ax, aty, active,
+                return_products=True,
+            )
+        )
+        return _step_phase(
+            cfg, prob, state, dx, dy, dzl, dzu, mu_new, mu_curr, solve_bad,
+            del_w, del_c, reg_p, reg_d, products=(ax, aty, adx, atdy),
+        )
     dx, dy, dzl, dzu, mu_new, mu_curr, solve_bad = _direction_phase(
         cfg, prob, state, factors, ax, aty, active
     )
@@ -863,11 +933,20 @@ def _refresh_cert(cfg: SolverConfig, prob: DeviceQP, state: IPMState) -> IPMStat
     )
 
 
-def _loop_body(cfg: SolverConfig, prob: DeviceQP, state: IPMState) -> IPMState:
+def _loop_body(
+    cfg: SolverConfig, prob: DeviceQP, state: IPMState, ax=None, aty=None
+):
     # One A x / A' y pair per loop trip, shared between the termination
     # check and the iteration's rhs builds (see kernels.eval_cons_residual).
-    ax = prob.matvec(state.x)
-    aty = prob.rmatvec(state.y)
+    # When the caller CARRIES the pair across trips (solve_device's inner
+    # loop, cfg.product_recurrence), it arrives as arguments, the iteration
+    # returns the recurrence-advanced pair, and this function returns
+    # ``(state, ax', aty')`` instead of the bare state — saving both
+    # A-applications on every trip between the CERT_PERIOD exact resyncs.
+    carried = ax is not None and aty is not None
+    if not carried:
+        ax = prob.matvec(state.x)
+        aty = prob.rmatvec(state.y)
     state = update_termination(cfg, prob, state, ax, aty)
     # Finished-lane neutralization (docs/design.md "masked batch exit"):
     # under vmap a non-REGULAR lane cannot skip the iteration (lax.cond on
@@ -880,6 +959,20 @@ def _loop_body(cfg: SolverConfig, prob: DeviceQP, state: IPMState) -> IPMState:
     # enclosing while_loop predicate already guarantees active=True and the
     # selects fold away.
     active = state.status == jnp.asarray(int(Status.REGULAR), jnp.int32)
+    if carried:
+        new, ax_n, aty_n = iteration(
+            cfg, prob, state, ax, aty, active=active, return_products=True
+        )
+        out = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(active, a, b), new, state
+        )
+        # The carried pair follows the same lane-wise discard as the state:
+        # an inactive lane keeps the pair of the iterate it keeps.
+        return (
+            out,
+            jnp.where(active, ax_n, ax),
+            jnp.where(active, aty_n, aty),
+        )
     new = iteration(cfg, prob, state, ax, aty, active=active)
     return jax.tree_util.tree_map(
         lambda a, b: jnp.where(active, a, b), new, state
@@ -907,6 +1000,26 @@ def solve_device(cfg: SolverConfig, prob: DeviceQP) -> Tuple[DeviceQP, ScaleInfo
 
     def outer(state):
         state = _refresh_cert(cfg, prob_s, state)
+
+        if cfg.product_recurrence:
+            # Exact A x / A' y at the chunk boundary (the recurrence
+            # resync), then carry the pair through the inner trips.
+            ax = prob_s.matvec(state.x)
+            aty = prob_s.rmatvec(state.y)
+
+            def inner_cond(c):
+                s, _ax, _aty, i = c
+                return (s.status == int(Status.REGULAR)) & (i < CERT_PERIOD)
+
+            def inner_body(c):
+                s, ax_, aty_, i = c
+                s, ax_, aty_ = _loop_body(cfg, prob_s, s, ax_, aty_)
+                return s, ax_, aty_, i + 1
+
+            state, _, _, _ = lax.while_loop(
+                inner_cond, inner_body, (state, ax, aty, jnp.asarray(0))
+            )
+            return state
 
         def inner_cond(c):
             s, i = c
@@ -945,6 +1058,26 @@ def solve_device_chunked(
         # Certificate refreshed once per host chunk (<= max(chunk,
         # CERT_PERIOD)-stale; same staleness argument as CERT_PERIOD).
         state_ = _refresh_cert(cfg, prob_, state_)
+
+        if cfg.product_recurrence:
+            # Exact pair at the chunk boundary, recurrence inside (see
+            # solve_device); chunk <= 25 keeps the same drift bound class.
+            ax = prob_.matvec(state_.x)
+            aty = prob_.rmatvec(state_.y)
+
+            def body(carry):
+                s, ax_, aty_, i = carry
+                s, ax_, aty_ = _loop_body(cfg, prob_, s, ax_, aty_)
+                return s, ax_, aty_, i + 1
+
+            def cond(carry):
+                s, _ax, _aty, i = carry
+                return (s.status == int(Status.REGULAR)) & (i < chunk)
+
+            state_, _, _, _ = lax.while_loop(
+                cond, body, (state_, ax, aty, jnp.asarray(0))
+            )
+            return state_
 
         def body(carry):
             s, i = carry

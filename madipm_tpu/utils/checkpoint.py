@@ -89,6 +89,28 @@ def resume(solver, state: IPMState):
     def outer(s):
         s = driver._refresh_cert(cfg, prob_s, s)
 
+        if cfg.product_recurrence:
+            # Same carry structure as solve_device: exact A x / A' y at the
+            # chunk boundary, recurrence-advanced inside.
+            ax = prob_s.matvec(s.x)
+            aty = prob_s.rmatvec(s.y)
+
+            def inner_cond(c):
+                st, _ax, _aty, i = c
+                return (st.status == int(Status.REGULAR)) & (
+                    i < driver.CERT_PERIOD
+                )
+
+            def inner_body(c):
+                st, ax_, aty_, i = c
+                st, ax_, aty_ = driver._loop_body(cfg, prob_s, st, ax_, aty_)
+                return st, ax_, aty_, i + 1
+
+            s, _, _, _ = lax.while_loop(
+                inner_cond, inner_body, (s, ax, aty, jnp.asarray(0))
+            )
+            return s
+
         def inner_cond(c):
             st, i = c
             return (st.status == int(Status.REGULAR)) & (i < driver.CERT_PERIOD)

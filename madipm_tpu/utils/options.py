@@ -246,8 +246,9 @@ class IPMOptions:
     #: matches the reference's fixed-accuracy direct solves.
     pcg_adaptive_tol: bool = False
     #: upper clamp of the corrector's mu-adaptive PCG exit tolerance (only
-    #: read when pcg_adaptive_tol=True; the predictor's clamp is 10x this,
-    #: floored at its historical 1e-8).  The default 1e-9 makes every
+    #: read when pcg_adaptive_tol=True; the PREDICTOR's clamp is fixed at
+    #: 1e-8 and deliberately NOT coupled to this — loosened caps were only
+    #: measured with predictor_pcg_budget=0).  The default 1e-9 makes every
     #: early/mid IPM iteration solve its corrector to 1e-9 relative even
     #: though the outer iteration only needs a residual well under mu —
     #: raising the cap trades extra IPM iterations for fewer fp64 PCG
@@ -277,6 +278,17 @@ class IPMOptions:
     #: A-applications per iteration — measure solve rate before adopting
     #: (scripts/ablate_predictor.py).
     predictor_pcg_budget: Optional[int] = None
+    #: advance the fused driver's memoized ``A x`` / ``A' y`` pair by
+    #: RECURRENCE (``ax += alpha_p * A dx``, with ``A dx`` and ``A' dy``
+    #: taken from corrector-solve byproducts — ops/kkt.solve_condensed
+    #: ``return_products``) instead of recomputing both products at every
+    #: loop trip.  Saves 2 of the ~8 fp64 A-applications per iteration on
+    #: the NORMAL fp64-PCG path.  The recurrence carries O(eps64) rounding
+    #: per iteration; the fused drivers resync it EXACTLY every CERT_PERIOD
+    #: (=16) trips at the certificate-refresh boundary, bounding the drift
+    #: at ~1e-14 relative — far below tol.  The python-driven diagnostic
+    #: drivers (solve_logged/solve_timed) always recompute exactly.
+    product_recurrence: bool = True
 
     # Compute dtype of the factorization ("float64" on CPU tests; "float32"
     # + refinement on TPU). None = pick by backend.

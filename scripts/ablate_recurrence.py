@@ -1,17 +1,15 @@
 #!/usr/bin/env python
-"""Ablate the corrector PCG tolerance cap (round-3 perf experiment).
+"""Ablate the A x / A' y product recurrence (round-4 perf experiment).
 
-With the adopted config (``predictor_pcg_budget=0``) the corrector solve is
-the only remaining fp64 PCG.  Its mu-adaptive exit tolerance
-``clip(0.01*mu, 1e-13, pcg_tol_cap)`` is UPPER-clamped at 1e-9, so every
-early/mid IPM iteration (mu > 1e-7) solves its Newton system to 1e-9
-relative even though inexact-Newton analysis only needs a residual well
-under mu.  Raising the cap lets those iterations exit the PCG after the
-initial factor-solve + residual check, shaving fp64 operator applications —
-at the risk of more outer iterations or lost robustness on the perturbed
-protocol.  This measures that trade at the bench shapes.
+``product_recurrence=True`` advances the fused driver's memoized
+termination pair from corrector-solve byproducts instead of recomputing
+both Ozaki A-applications every trip (saves ~2 of the ~8 fp64
+A-applications per iteration; exact resync every CERT_PERIOD).  This
+measures the delta at a bench shape under the adopted config, both
+orders (warm-order-reversed protocol — the first config after a compile
+reads slow).
 
-Usage: python scripts/ablate_corrtol.py [--m 1024 --n 2048 --k 8 --density 0.15]
+Usage: python scripts/ablate_recurrence.py [--m 1024 --n 2048 --k 8 --density 0.15 --reverse]
 """
 
 from __future__ import annotations
@@ -44,11 +42,9 @@ def main():
     ap.add_argument("--n", type=int, default=2048)
     ap.add_argument("--k", type=int, default=8)
     ap.add_argument("--density", type=float, default=0.15)
-    ap.add_argument("--caps", type=float, nargs="*",
-                    default=[1e-9, 1e-7, 1e-6, 1e-5])
+    ap.add_argument("--reverse", action="store_true",
+                    help="run rec=True first (order-reversal re-run)")
     args = ap.parse_args()
-    if not args.caps:
-        ap.error("--caps needs at least one value")
 
     jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_default_matmul_precision", "highest")
@@ -71,35 +67,29 @@ def main():
         refinement_steps=12,
         pcg_adaptive_tol=True,
         predictor_pcg_budget=0,
+        pcg_tol_cap=1e-6,
     )
 
+    order = [True, False] if args.reverse else [False, True]
     results = {}
-    for cap in args.caps:
-        opts = dict(base, pcg_tol_cap=cap)
+    for rec in order:
+        opts = dict(base, product_recurrence=rec)
         iters, wall, stats = benchmod.bench_tpu(models, opts)
         solved = sum(s.success for s in stats)
         objs = [s.objective if s.success else np.nan for s in stats]
-        results[cap] = (iters / wall, solved, objs, iters)
-        log(f"pcg_tol_cap={cap:g}: {iters / wall:.1f} iter/s, "
+        results[rec] = (iters / wall, solved, objs, iters)
+        log(f"product_recurrence={rec}: {iters / wall:.1f} iter/s, "
             f"{solved}/{args.k} solved, {iters} total iters")
 
-    # Reference objectives: the first FULLY-solved config (comparing
-    # against a config with failures would propagate NaNs into every gap);
-    # fall back to the first cap with a visible warning if none solved all.
-    ref_cap = next(
-        (c for c in args.caps if results[c][1] == args.k), args.caps[0]
-    )
-    if results[ref_cap][1] != args.k:
-        log(f"WARNING: no cap solved {args.k}/{args.k}; gaps vs partially-"
-            f"solved cap={ref_cap:g} ({results[ref_cap][1]}/{args.k})")
-    ref_objs = results[ref_cap][2]
-    for cap, (rate, solved, objs, iters) in results.items():
+    ref_objs = results[order[0]][2]
+    for rec in order:
+        rate, solved, objs, iters = results[rec]
         with np.errstate(invalid="ignore"):
             gap = np.nanmax(
                 np.abs(np.array(objs) - np.array(ref_objs))
                 / np.maximum(1.0, np.abs(ref_objs))
             )
-        print(f"{cap:>8g}: {rate:8.1f} iter/s  {solved}/{args.k} solved  "
+        print(f"rec={rec!s:>5}: {rate:8.1f} iter/s  {solved}/{args.k} solved  "
               f"{iters} iters  max_rel_obj_gap={gap:.2e}", flush=True)
 
 

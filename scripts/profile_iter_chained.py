@@ -74,7 +74,8 @@ def main():
         regularization=mt.FixedRegularization(1e-8, -1e-8),
         print_level=mt.PrintLevel.ERROR,
         linear_solver=mt.LinearSolver.CHOLESKY_INV,
-        factor_dtype="float32", refinement_steps=6, pcg_adaptive_tol=True,
+        factor_dtype="float32", refinement_steps=12, pcg_adaptive_tol=True,
+        predictor_pcg_budget=0, pcg_tol_cap=1e-6,
     )
     probs, _ = bucket_pad(models)
     cfg = driver.make_config(opt, is_qp=False)
@@ -126,14 +127,15 @@ def main():
     rx0 = st.zl - st.zu - 0.01 * jnp.sign(st.x)
     rp0 = jnp.zeros_like(st.y) + 0.001
 
-    def solve_chain_fn(budget):
+    def solve_chain_fn(budget, rtol=None):
         @jax.jit
         def run(p, f, rx, rp):
             def body(c, _):
                 rx_, rp_ = c
                 dx, dy = jax.vmap(
                     lambda pi, fi, a, b: kkt_ops.solve_condensed(
-                        cfg.kkt, pi, fi, a, b, pcg_budget=budget
+                        cfg.kkt, pi, fi, a, b, pcg_budget=budget,
+                        pcg_rtol=rtol,
                     )
                 )(p, f, rx_, rp_)
                 nx = jnp.maximum(jnp.max(jnp.abs(dx)), 1e-30)
@@ -148,8 +150,11 @@ def main():
     results["solve_corrector_s"] = (
         timeit(solve_chain_fn(None), prob_s, factors, rx0, rp0) / REPS
     )
+    results["solve_corrector_rtol1e6_s"] = (
+        timeit(solve_chain_fn(None, rtol=1e-6), prob_s, factors, rx0, rp0) / REPS
+    )
     results["solve_predictor_s"] = (
-        timeit(solve_chain_fn(3), prob_s, factors, rx0, rp0) / REPS
+        timeit(solve_chain_fn(0), prob_s, factors, rx0, rp0) / REPS
     )
 
     # --- one exact-operator pair (ozaki if enabled in cfg)
@@ -167,6 +172,68 @@ def main():
         return out
 
     results["exact_pair_s"] = timeit(pair_chain, prob_s, factors, st.y) / REPS
+
+    # --- glue components (the iteration minus factor/solves/pair):
+    # termination check, step rule + apply, rhs builds, bound-dual
+    # recovery.  Each chained REPS times like the above.
+    from madipm_tpu.solver import kernels as KK
+
+    @jax.jit
+    def term_chain(p, s):
+        def body(s_, _):
+            ax = jax.vmap(lambda pi, xi: pi.matvec(xi))(p, s_.x)
+            aty = jax.vmap(lambda pi, yi: pi.rmatvec(yi))(p, s_.y)
+            s2 = jax.vmap(partial(driver.update_termination, cfg))(p, s_, ax, aty)
+            return s2._replace(status=s_.status, x=s_.x * (1 + 1e-18)), None
+
+        out, _ = jax.lax.scan(body, s, None, length=REPS)
+        return out
+
+    results["term_incl_pair_s"] = timeit(term_chain, prob_s, st) / REPS
+
+    @jax.jit
+    def ftb_chain(p, s):
+        def body(v, _):
+            dxv, dzlv, dzuv = v
+            def one(pi, si, dxi, dzli, dzui):
+                import dataclasses as dc
+                pb = dc.replace(pi, lb=si.lb, ub=si.ub)
+                return KK.mehrotra_adaptive_step(
+                    pb, si.x, si.zl, si.zu, dxi, dzli, dzui, 0.995
+                )
+            ap, ad = jax.vmap(one)(p, s, dxv, dzlv, dzuv)
+            scale_ = 1.0 + 1e-18 * ap[:, None] + 0e0 * ad[:, None]
+            return (dxv * scale_, dzlv * scale_, dzuv * scale_), None
+
+        out, _ = jax.lax.scan(body, (s.dx, s.dzl, s.dzu), None, length=REPS)
+        return out
+
+    results["ftb_mehrotra_s"] = timeit(ftb_chain, prob_s, st) / REPS
+
+    ax0 = jax.vmap(lambda pi, xi: pi.matvec(xi))(prob_s, st.x)
+    aty0 = jax.vmap(lambda pi, yi: pi.rmatvec(yi))(prob_s, st.y)
+
+    @jax.jit
+    def rhs_chain2(p, s, ax0, aty0):
+        def body(v, _):
+            ax, aty = v
+            def one(pi, si, axi, atyi):
+                import dataclasses as dc
+                pb = dc.replace(pi, lb=si.lb, ub=si.ub)
+                r = KK.predictor_rhs(pb, si.x, si.y, si.zl, si.zu, axi, atyi)
+                r2 = KK.corrector_rhs(
+                    pb, si.x, si.y, si.zl, si.zu, si.mu,
+                    si.dx * si.dzl, si.dx * si.dzu, axi, atyi,
+                )
+                return r.rx + r2.rx, r.rp + r2.rp
+            sx, sp = jax.vmap(one)(p, s, ax, aty)
+            bump = 1e-18 * jnp.max(jnp.abs(sx))
+            return (ax * (1.0 + bump), aty * (1.0 + bump)), None
+
+        out, _ = jax.lax.scan(body, (ax0, aty0), None, length=REPS)
+        return out
+
+    results["rhs_builds_s"] = timeit(rhs_chain2, prob_s, st, ax0, aty0) / REPS
 
     print(json.dumps(results), flush=True)
 

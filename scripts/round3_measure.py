@@ -77,6 +77,11 @@ def _tpu_opts(mt, refinement=12, share=False):
         refinement_steps=refinement,
         pcg_adaptive_tol=True,
         predictor_pcg_budget=0,
+        # round-4 additions to the adopted config: the corrector-cap
+        # loosening bench.py adopted in round 3 (re-confirmed warm
+        # order-reversed at m=2048, results/ablate-corrtol-tpu-r4.txt) —
+        # product_recurrence=True rides along as the new library default.
+        pcg_tol_cap=1e-6,
     )
     if share:
         # Shared-slice Ozaki transpose: A'-matvecs reuse the forward
