@@ -44,11 +44,12 @@ def _ensure_x64():
     # (the benchmark sweep pattern, scripts/benchmarks_cpu.jl:15-58) skip
     # recompilation across processes.
     if not jax.config.jax_compilation_cache_dir:
-        # Key the cache by backend: entries AOT-compiled for the TPU-tunnel
-        # host CPU are not safe to load on this machine (feature mismatch).
-        backend = jax.default_backend()
-        jax.config.update("jax_compilation_cache_dir", f"/tmp/madipm_jax_cache_{backend}")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Key the cache by backend AND machine fingerprint: entries
+        # AOT-compiled on a host with different CPU features are not safe
+        # to load here (utils/cache.py).
+        from .utils.cache import configure_cache
+
+        configure_cache(jax)
 
 
 class MPCSolver:

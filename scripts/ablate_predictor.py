@@ -47,8 +47,8 @@ def main():
     jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_default_matmul_precision", "highest")
     backend = jax.default_backend()
-    jax.config.update("jax_compilation_cache_dir", f"/tmp/madipm_jax_cache_{backend}")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from madipm_tpu.utils.cache import configure_cache
+    configure_cache(jax, backend)
     log(f"backend: {backend}")
 
     import madipm_tpu as mt

@@ -27,8 +27,8 @@ def main():
     inst = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 
     backend = jax.default_backend()
-    jax.config.update("jax_compilation_cache_dir", f"/tmp/madipm_jax_cache_{backend}")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from madipm_tpu.utils.cache import configure_cache
+    configure_cache(jax, backend)
     print(f"backend={backend} bscale={bscale} instance={inst}", flush=True)
 
     import madipm_tpu as mt

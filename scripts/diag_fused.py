@@ -23,8 +23,8 @@ from bench import make_suite  # noqa: E402
 
 def main():
     backend = jax.default_backend()
-    jax.config.update("jax_compilation_cache_dir", f"/tmp/madipm_jax_cache_{backend}")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from madipm_tpu.utils.cache import configure_cache
+    configure_cache(jax, backend)
     print(f"backend={backend}", flush=True)
 
     from functools import partial

@@ -10,8 +10,11 @@ Separates "fp64 emulation tax" from bandwidth so solve-path optimizations
 target the right thing (see BASELINE.md / docs/design.md).
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -39,8 +42,8 @@ def main():
     jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_default_matmul_precision", "highest")
     backend = jax.default_backend()
-    jax.config.update("jax_compilation_cache_dir", f"/tmp/madipm_jax_cache_{backend}")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from madipm_tpu.utils.cache import configure_cache
+    configure_cache(jax, backend)
     print(f"backend: {backend}", file=sys.stderr, flush=True)
 
     k, m, n = 8, 1024, 2048

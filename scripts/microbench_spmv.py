@@ -37,7 +37,8 @@ def log(*a):
 
 def main():
     backend = jax.default_backend()
-    jax.config.update("jax_compilation_cache_dir", f"/tmp/madipm_jax_cache_{backend}")
+    from madipm_tpu.utils.cache import configure_cache
+    configure_cache(jax, backend)
     log(f"backend={backend}")
 
     m, n, K = 2048, 4096, 64

@@ -51,15 +51,17 @@ def timeit(fn, *args, reps=5):
     return float(np.median(walls))
 
 
-REPS = 20
+REPS = int(os.environ.get("PROFILE_REPS", "20"))
 
 
 def main():
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_default_matmul_precision", "highest")
     backend = jax.default_backend()
-    jax.config.update("jax_compilation_cache_dir", f"/tmp/madipm_jax_cache_{backend}")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from madipm_tpu.utils.cache import configure_cache
+    configure_cache(jax, backend)
     print(f"backend: {backend}", file=sys.stderr, flush=True)
 
     import madipm_tpu as mt
@@ -67,7 +69,10 @@ def main():
     from madipm_tpu.solver import driver
     from madipm_tpu.ops import kkt as kkt_ops
 
-    k, m, n, density = 8, 1024, 2048, 0.15
+    k = int(os.environ.get("PROFILE_K", "8"))
+    m = int(os.environ.get("PROFILE_M", "1024"))
+    n = int(os.environ.get("PROFILE_N", str(2 * m)))
+    density = float(os.environ.get("PROFILE_DENSITY", "0.15"))
     models = benchmod.make_suite(k=k, n=n, m=m, density=density)
     opt = mt.load_options(
         tol=1e-8, max_iter=300,
@@ -234,6 +239,117 @@ def main():
         return out
 
     results["rhs_builds_s"] = timeit(rhs_chain2, prob_s, st, ax0, aty0) / REPS
+
+    # --- termination check alone (pair precomputed): isolates the glue part
+    # of term_incl_pair_s from the A-applications.
+    @jax.jit
+    def term_only_chain(p, s, ax, aty):
+        def body(s_, _):
+            s2 = jax.vmap(partial(driver.update_termination, cfg))(p, s_, ax, aty)
+            return s2._replace(status=s_.status, x=s_.x * (1 + 1e-18)), None
+
+        out, _ = jax.lax.scan(body, s, None, length=REPS)
+        return out
+
+    results["term_only_s"] = timeit(term_only_chain, prob_s, st, ax0, aty0) / REPS
+
+    # --- step phase alone (step rule + apply + boundary adjust + salvage
+    # masking + state rebuild): the tail glue after the direction solves.
+    @jax.jit
+    def step_chain(p, s):
+        def body(s_, _):
+            s2 = jax.vmap(
+                lambda pi, si: driver._step_phase(
+                    cfg, pi, si, si.dx, si.dy, si.dzl, si.dzu, si.mu,
+                    si.mu_curr, jnp.asarray(False), si.del_w, si.del_c,
+                    si.reg_p, si.reg_d,
+                )
+            )(p, s_)
+            return s2._replace(
+                k=s_.k, x=s_.x, y=s_.y, zl=s_.zl, zu=s_.zu,
+                lb=s_.lb, ub=s_.ub, status=s_.status,
+                dx=s_.dx * (1 + 1e-18),
+            ), None
+
+        out, _ = jax.lax.scan(body, s, None, length=REPS)
+        return out
+
+    results["step_phase_s"] = timeit(step_chain, prob_s, st) / REPS
+
+    # --- Mehrotra centering glue (affine FTB + mu_aff + correction products
+    # + barrier): the glue between predictor and corrector solves.
+    @jax.jit
+    def center_chain(p, s):
+        def body(v, _):
+            dxv, dzlv, dzuv = v
+
+            def one(pi, si, dxi, dzli, dzui):
+                import dataclasses as dc
+                pb = dc.replace(pi, lb=si.lb, ub=si.ub)
+                ap, ad = KK.fraction_to_boundary(
+                    pb, si.x, si.zl, si.zu, dxi, dzli, dzui, 1.0
+                )
+                mu_aff = KK.affine_complementarity_measure(
+                    pb, si.x, si.zl, si.zu, dxi, dzli, dzui, ap, ad
+                )
+                cl, cu = KK.mehrotra_correction(pb, dxi, dzli, dzui)
+                mu_new, mu_curr = KK.mehrotra_barrier(
+                    pb, si.x, si.zl, si.zu, mu_aff, cfg.mu_min,
+                    power=cfg.barrier_update.power,
+                    sigma_min=cfg.barrier_update.sigma_min,
+                    sigma_max=cfg.barrier_update.sigma_max,
+                )
+                return mu_new + jnp.max(cl) + jnp.max(cu)
+
+            o = jax.vmap(one)(p, s, dxv, dzlv, dzuv)
+            scale_ = 1.0 + 1e-18 * o[:, None]
+            return (dxv * scale_, dzlv * scale_, dzuv * scale_), None
+
+        out, _ = jax.lax.scan(body, (s.dx, s.dzl, s.dzu), None, length=REPS)
+        return out
+
+    results["centering_glue_s"] = timeit(center_chain, prob_s, st) / REPS
+
+    # --- bound-dual recovery x2 (predictor + corrector tails)
+    @jax.jit
+    def recover_chain(p, s):
+        def body(dxv, _):
+            def one(pi, si, dxi):
+                import dataclasses as dc
+                pb = dc.replace(pi, lb=si.lb, ub=si.ub)
+                r = KK.predictor_rhs(
+                    pb, si.x, si.y, si.zl, si.zu,
+                    jnp.zeros_like(si.y), jnp.zeros_like(si.x),
+                )
+                dzl, dzu = KK.recover_bound_duals(pb, si.x, si.zl, si.zu, r, dxi)
+                return dzl + dzu
+
+            o = jax.vmap(one)(p, s, dxv)
+            return dxv + 1e-18 * o, None
+
+        out, _ = jax.lax.scan(body, s.dx, None, length=REPS)
+        return out
+
+    results["recover_duals_s"] = timeit(recover_chain, prob_s, st) / REPS
+
+    # --- full _loop_body with carried pair (termination + neutralization
+    # masking + iteration + lane-discard tree_map): what one solve_device
+    # inner trip actually costs; compare against iteration_s to price the
+    # termination+discard wrapper.
+    @jax.jit
+    def loop_body_chain(p, s, ax, aty):
+        def body(c, _):
+            s_, ax_, aty_ = c
+            s2, ax2, aty2 = jax.vmap(partial(driver._loop_body, cfg))(
+                p, s_, ax_, aty_
+            )
+            s2 = s2._replace(k=s_.k, status=s_.status)
+            return (s2, ax2, aty2), None
+
+        out, _ = jax.lax.scan(body, (s, ax, aty), None, length=REPS)
+        return out
+
+    results["loop_body_s"] = timeit(loop_body_chain, prob_s, st, ax0, aty0) / REPS
 
     print(json.dumps(results), flush=True)
 

@@ -21,8 +21,14 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_default_matmul_precision", "highest")
-jax.config.update("jax_compilation_cache_dir", "/tmp/madipm_jax_cache_cpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Machine-keyed cache dir: /tmp is visible to more than one machine here,
+# and foreign XLA:CPU AOT entries SIGSEGV when loaded (utils/cache.py).
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from madipm_tpu.utils.cache import configure_cache
+
+configure_cache(jax, "cpu")
 
 import numpy as np
 import pytest
