@@ -73,6 +73,9 @@ class SolverConfig:
     #: upper clamp for the corrector's mu-adaptive PCG rtol (the predictor
     #: clamp is fixed at 1e-8; see IPMOptions.pcg_tol_cap).
     pcg_tol_cap: float = 1e-9
+    #: lower clamp of the same tolerance (see IPMOptions.pcg_tol_floor —
+    #: the round-5 late-phase over-solve lever).
+    pcg_tol_floor: float = 1e-13
     #: balanced-central-path coefficient (see _direction_phase); 0 disables.
     mu_balance: float = 1e-2
     #: evaluate fp64 A-matvecs via the error-free bf16 Ozaki slicing on the
@@ -199,6 +202,7 @@ def make_config(
         tol_linear_solve=opt.tol_linear_solve,
         pcg_adaptive_tol=opt.pcg_adaptive_tol,
         pcg_tol_cap=opt.pcg_tol_cap,
+        pcg_tol_floor=opt.pcg_tol_floor,
         mu_balance=opt.mu_balance,
         use_ozaki=use_ozaki,
         ozaki_variant=ozaki_variant,
@@ -657,7 +661,7 @@ def _direction_phase(
 
     # Mehrotra corrector (reference mehrotra_correction_direction!)
     if cfg.pcg_adaptive_tol:
-        rtol_corr = jnp.clip(0.01 * mu_new, 1e-13, cfg.pcg_tol_cap)
+        rtol_corr = jnp.clip(0.01 * mu_new, cfg.pcg_tol_floor, cfg.pcg_tol_cap)
     rhs_c = K.corrector_rhs(prob, x, y, zl, zu, mu_new, corr_l, corr_u, ax, aty)
     adx = atdy = None
     if return_products:

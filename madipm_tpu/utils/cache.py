@@ -43,16 +43,29 @@ def jax_cache_dir(backend: str) -> str:
     return f"/tmp/madipm_jax_cache_{backend}_{_machine_fingerprint()}"
 
 
-def configure_cache(jax, backend: str | None = None) -> str:
+def configure_cache(jax, backend: str | None = None, writes: bool = True) -> str:
     """Point jax's persistent compilation cache at the machine-keyed dir.
 
     Safe to call before device initialization (``backend=None`` resolves
     the default backend, which DOES initialize the platform — pass the
     backend name explicitly to avoid that).
+
+    ``writes=False`` keeps cache READS but disables entry writes: jaxlib
+    0.9.0's XLA:CPU ``executable.serialize()`` segfaults probabilistically
+    on some freshly-compiled executables (observed twice in full-suite
+    pytest runs, stack ending in compilation_cache.put_executable_and_time
+    line 265), and the min-compile-time gate runs BEFORE serialization, so
+    an effectively-infinite threshold skips the crashing path entirely.
+    The test suite runs read-only; seed the cache once with
+    ``MADIPM_CACHE_WRITE=1 python -m pytest tests/ -q`` (re-run on a crash
+    — every completed compile before the crash is already on disk, so
+    progress is monotonic).
     """
     if backend is None:
         backend = jax.default_backend()
     path = jax_cache_dir(backend)
     jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs", 1.0 if writes else 1e9
+    )
     return path

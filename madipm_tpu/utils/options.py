@@ -256,6 +256,18 @@ class IPMOptions:
     #: (scripts/ablate_corrtol.py); the late phase is unaffected either
     #: way (mu < cap/0.01 re-enters the mu-proportional regime).
     pcg_tol_cap: float = 1e-9
+    #: LOWER clamp of the corrector's mu-adaptive PCG exit tolerance (only
+    #: read when pcg_adaptive_tol=True).  As mu falls toward ~1e-10 the
+    #: mu-proportional rule asks for relative residuals near this floor
+    #: while the fp32-factor preconditioner is at its weakest — the round-5
+    #: trajectory profile (scripts/diag_trips.py) measured the LAST ~10 IPM
+    #: iterations at ~5x the per-trip cost of the early ones (~78% of
+    #: device time) almost entirely in these late corrector PCG sweeps.
+    #: Inexact-Newton analysis only needs step residuals ~0.01*tol relative
+    #: to the (itself shrinking) rhs for 1e-8 convergence; raising the
+    #: floor to ~1e-10 removes the over-solve.  Default keeps the
+    #: historical 1e-13; measure before adopting (scripts/ablate_tolfloor.py).
+    pcg_tol_floor: float = 1e-13
     #: max fp64 iterative-refinement sweeps after each fp32 factor-solve on
     #: TPU (0 disables; load-bearing for reaching tol=1e-8 with an MXU fp32
     #: factorization).  The refinement loop exits early on convergence, so

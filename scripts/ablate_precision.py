@@ -62,6 +62,14 @@ def main():
         # 3-pass preconditioner might now converge within the doubled cap.
         refinement_steps=12,
         pcg_adaptive_tol=True,
+        # Round-5 adopted solve config: preconditioner-only predictor,
+        # loosened corrector rtol clamps (see ablate_tolfloor.py) -- the
+        # weak-factor failure mode round 2/3 measured (budget-bound tail
+        # grind) is exactly what the floor removes, so "high"/"default"
+        # get a fresh chance here.
+        predictor_pcg_budget=0,
+        pcg_tol_cap=1e-6,
+        pcg_tol_floor=float(os.environ.get("ABL_FLOOR", "1e-8")),
     )
 
     results = {}

@@ -28,7 +28,10 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from madipm_tpu.utils.cache import configure_cache
 
-configure_cache(jax, "cpu")
+# Read-only by default: jaxlib 0.9.0's CPU executable.serialize() can
+# segfault on write (see utils/cache.py).  Seed/refresh entries with
+# MADIPM_CACHE_WRITE=1 (re-run on a crash; progress is monotonic).
+configure_cache(jax, "cpu", writes=os.environ.get("MADIPM_CACHE_WRITE") == "1")
 
 import numpy as np
 import pytest

@@ -826,3 +826,51 @@ class TestCorrectorTolCap:
         assert st.success
         assert abs(st.objective - info["obj"]) <= 1e-6 * max(1.0, abs(info["obj"]))
         assert TestKnownOptimum._rel_kkt(qp, st) <= 1e-6
+
+
+class TestCorrectorTolFloor:
+    """pcg_tol_floor (round-5 perf experiment): raising the corrector's
+    adaptive-rtol LOWER clamp from the historical 1e-13 stops the late-phase
+    PCG over-solve (scripts/diag_trips.py) — convergence and the
+    known-optimum certificate must survive the loosened floor."""
+
+    @pytest.mark.parametrize("floor", [1e-13, 1e-10])
+    def test_fp32_factor_convergence(self, floor):
+        from tests.conftest import random_lp, scipy_linprog
+
+        for seed in (41, 43):
+            c, A, b, lv, uv = random_lp(None, 60, 20, seed=seed)
+            qp = mt.from_dense(c=c, A=A, lcon=b, ucon=b, lvar=lv, uvar=uv)
+            st = _solve(
+                qp,
+                linear_solver=mt.LinearSolver.CHOLESKY_INV,
+                factor_dtype="float32",
+                refinement_steps=12,
+                pcg_adaptive_tol=True,
+                predictor_pcg_budget=0,
+                pcg_tol_cap=1e-6,
+                pcg_tol_floor=floor,
+                regularization=mt.FixedRegularization(1e-8, -1e-8),
+            )
+            assert st.success, (seed, floor, st.status)
+            ref = scipy_linprog(c, A, b, lv, uv)
+            assert st.objective == pytest.approx(ref.fun, abs=2e-6 * (1 + abs(ref.fun)))
+
+    def test_known_optimum_certificate_loose_floor(self):
+        from madipm_tpu.models.generators import known_optimum_lp
+
+        qp, info = known_optimum_lp(32, 96, seed=7, degenerate=True)
+        st = _solve(
+            qp,
+            linear_solver=mt.LinearSolver.CHOLESKY_INV,
+            factor_dtype="float32",
+            refinement_steps=12,
+            pcg_adaptive_tol=True,
+            predictor_pcg_budget=0,
+            pcg_tol_cap=1e-6,
+            pcg_tol_floor=1e-10,
+            regularization=mt.FixedRegularization(1e-8, -1e-8),
+        )
+        assert st.success
+        assert abs(st.objective - info["obj"]) <= 1e-6 * max(1.0, abs(info["obj"]))
+        assert TestKnownOptimum._rel_kkt(qp, st) <= 1e-6
