@@ -66,6 +66,7 @@ def main():
         linear_solver=mt.LinearSolver.CHOLESKY_INV,
         factor_dtype="float32", refinement_steps=12, pcg_adaptive_tol=True,
         predictor_pcg_budget=0, pcg_tol_cap=1e-6,
+        pcg_tol_floor=float(os.environ.get("ABL_FLOOR", "1e-8")),
     )
     probs, _ = bucket_pad(models)
     cfg = driver.make_config(opt, is_qp=False)

@@ -82,6 +82,9 @@ def _tpu_opts(mt, refinement=12, share=False):
         # order-reversed at m=2048, results/ablate-corrtol-tpu-r4.txt) —
         # product_recurrence=True rides along as the new library default.
         pcg_tol_cap=1e-6,
+        # round-5 addition: corrector rtol floor (see bench.py note /
+        # scripts/ablate_tolfloor.py).
+        pcg_tol_floor=1e-8,
     )
     if share:
         # Shared-slice Ozaki transpose: A'-matvecs reuse the forward
