@@ -78,6 +78,17 @@ class KKTConfig:
     #: "default", for at most +27% rate) — see IPMOptions.factor_precision
     #: for the analysis; the 6-pass "highest" factor is load-bearing there.
     factor_precision: Optional[str] = None
+    #: second-order preconditioner: retain the UNSHIFTED Jacobi-scaled
+    #: normal matrix and apply one inner correction per preconditioner
+    #: application, M⁻¹' b = z + M⁻¹(b − Ŝ z) with z = M⁻¹ b.  The factor
+    #: M is built from Ŝ + PRECOND_SHIFT·I, so M⁻¹ alone mis-scales
+    #: small-eigenvalue directions by λ/(λ+σ) — exactly the weak-tail
+    #: contraction that dominates the late IPM iterations; the correction
+    #: cancels the shift error to first order at the cost of one fp32 MXU
+    #: m×m matvec + one extra factor application (both ~2 orders cheaper
+    #: than the fp64 Ozaki pair a saved PCG iteration avoids).  NORMAL +
+    #: low-precision-factor path only.  See IPMOptions.precond_refine.
+    precond_refine: bool = False
 
 
 class NormalFactors(NamedTuple):
@@ -319,6 +330,7 @@ def factorize(cfg: KKTConfig, prob: DeviceQP, x, zl, zu, del_w, del_c,
             dS = jnp.diagonal(S)
             jac = jax.lax.rsqrt(jnp.maximum(dS, jnp.finfo(cfg.factor_dtype).tiny))
             Shat = S * jac[:, None] * jac[None, :]
+            Shat_raw = Shat  # pre-shift (precond_refine's correction target)
             if cfg.refinement_steps > 0 and jnp.dtype(cfg.factor_dtype) != rdtype:
                 # Preconditioner-only shift (see PRECOND_SHIFT): the PCG
                 # operator keeps the exact del_c.
@@ -335,12 +347,17 @@ def factorize(cfg: KKTConfig, prob: DeviceQP, x, zl, zu, del_w, del_c,
             else:
                 fac = linalg.cholesky_factor(Shat)
                 ok = linalg.cholesky_is_ok(fac)
-            # Smat is only consumed by the flexible-PCG inner operator,
-            # which only engages when the factor runs BELOW the residual
-            # precision; a scalar dummy otherwise, so the retry while_loop
-            # does not carry a dead (m,m) buffer.
-            need_smat = cfg.use_flex_pcg and jnp.dtype(cfg.factor_dtype) != rdtype
-            smat = Shat if need_smat else jnp.zeros((), cfg.factor_dtype)
+            # Smat is only consumed by the flexible-PCG inner operator and
+            # the precond_refine inner correction, both of which only
+            # engage when the factor runs BELOW the residual precision; a
+            # scalar dummy otherwise, so the retry while_loop does not
+            # carry a dead (m,m) buffer.  Stored PRE-shift: refine corrects
+            # toward the true scaled S, and flex-PCG's inner Krylov is a
+            # preconditioner either way.
+            need_smat = (
+                cfg.use_flex_pcg or cfg.precond_refine
+            ) and jnp.dtype(cfg.factor_dtype) != rdtype
+            smat = Shat_raw if need_smat else jnp.zeros((), cfg.factor_dtype)
             return (
                 NormalFactors(
                     L=fac, jac=jac, dinv=dinv,
@@ -626,13 +643,26 @@ def solve_condensed(
                 )
                 return y * jac
         else:
+            refine_inner = cfg.precond_refine and factors.Smat.ndim == 2
+
             def solve_fn(b):
                 # Preconditioned low-precision solve through the Jacobi scaling:
                 # S = D^1/2 Shat D^1/2  =>  S^-1 b = D^-1/2 Shat^-1 D^-1/2 b
                 bf = (b * jac).astype(factors.L.dtype)
                 if cfg.linear_solver == LinearSolver.CHOLESKY_INV:
-                    return block_chol.chol_inv_solve(factors.L, bf) * jac
-                return linalg.cholesky_solve(factors.L, bf) * jac
+                    base = lambda v: block_chol.chol_inv_solve(factors.L, v)
+                else:
+                    base = lambda v: linalg.cholesky_solve(factors.L, v)
+                z = base(bf)
+                if refine_inner:
+                    # Second-order preconditioner (KKTConfig.precond_refine):
+                    # one correction against the retained UNSHIFTED scaled S
+                    # cancels the PRECOND_SHIFT's λ/(λ+σ) mis-scaling of
+                    # weak directions — an fp32 MXU matvec + factor apply,
+                    # ~2 orders cheaper than the fp64 pair each saved PCG
+                    # iteration avoids.
+                    z = z + base(bf - factors.Smat @ z)
+                return z * jac
 
         solve_fn = _with_fprec(solve_fn)
 

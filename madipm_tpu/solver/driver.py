@@ -147,6 +147,7 @@ def make_config(
         dist_mesh=mesh,
         dist_axis=dist_axis,
         factor_precision=opt.factor_precision,
+        precond_refine=opt.precond_refine,
     )
     from ..utils.options import Mehrotra
 

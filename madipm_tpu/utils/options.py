@@ -306,6 +306,26 @@ class IPMOptions:
     # + refinement on TPU). None = pick by backend.
     factor_dtype: Optional[str] = None
 
+    #: second-order preconditioner for the NORMAL low-precision-factor
+    #: path: retain the unshifted Jacobi-scaled normal matrix alongside the
+    #: (PRECOND_SHIFT-regularized) factor and apply one inner correction
+    #: per preconditioner application, M⁻¹' b = z + M⁻¹(b − Ŝ z).  The
+    #: shift floors weak-direction preconditioned eigenvalues at λ/(λ+σ),
+    #: which is what forces several fp64 PCG iterations in the late IPM
+    #: phase (scripts/diag_trips.py); the correction cancels that error to
+    #: first order for one fp32 MXU matvec + one extra factor application
+    #: per preconditioner call — ~2 orders cheaper than the fp64 Ozaki
+    #: pair each saved PCG iteration avoids.  Costs one retained (m,m)
+    #: fp32 buffer per lane.  MEASURED NEGATIVE at the tol=1e-8 bench
+    #: config on a v5e (scripts/ablate_refine.py, 2026-08-22): it does cut
+    #: iterations (171 vs 176 at m=1024×8) but the doubled preconditioner
+    #: cost applies to EVERY PCG iteration of EVERY phase — including the
+    #: early/mid iterations where one application already met the exit
+    #: tolerance — for a net 423.5 → 330.9 iter/s (m=1024) and 85.6 → 68.6
+    #: (m=2048).  Kept for workloads whose conditioning keeps the PCG deep
+    #: throughout (tol ≪ 1e-8, or heavily degenerate tails).
+    precond_refine: bool = False
+
     #: XLA matmul precision for the factor-dtype work (normal assembly, the
     #: blocked factorization, preconditioner applications) when the factor
     #: runs below the residual precision: "default" (1 bf16 MXU pass),
