@@ -258,6 +258,8 @@ def main():
             refinement_steps=12,
             pcg_adaptive_tol=True,  # headline bench config (bench.py)
             predictor_pcg_budget=0,  # preconditioner-only predictor (bench.py)
+            pcg_tol_cap=1e-6,  # round-3/5 corrector rtol clamps (bench.py)
+            pcg_tol_floor=1e-8,
         )
 
     # --- Collect instances
