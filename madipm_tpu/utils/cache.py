@@ -44,25 +44,32 @@ def jax_cache_dir(backend: str) -> str:
 
 
 def configure_cache(jax, backend: str | None = None, writes: bool = True) -> str:
-    """Point jax's persistent compilation cache at the machine-keyed dir.
+    """Point jax's persistent compilation cache at the machine-keyed dir —
+    except on CPU, where the cache is DISABLED outright.
+
+    jaxlib 0.9.0's XLA:CPU executable (de)serialization segfaults
+    probabilistically on some of this package's programs in BOTH
+    directions: ``executable.serialize()`` on write
+    (compilation_cache.put_executable_and_time line 265, observed twice)
+    AND deserialize on read of entries that were themselves written
+    cleanly (compilation_cache.get_executable_and_time line 238, observed
+    after a clean per-file seeding pass).  There is no safe mode, so CPU
+    runs simply recompile (full test suite ~16 min cold).  Set
+    MADIPM_CPU_CACHE=1 to opt back in at your own risk.
+
+    The TPU (axon) cache has been reliable across every round and big
+    compiles cost minutes, so it stays on; ``writes=False`` keeps it
+    read-only (the min-compile-time gate runs BEFORE serialization).
 
     Safe to call before device initialization (``backend=None`` resolves
     the default backend, which DOES initialize the platform — pass the
     backend name explicitly to avoid that).
-
-    ``writes=False`` keeps cache READS but disables entry writes: jaxlib
-    0.9.0's XLA:CPU ``executable.serialize()`` segfaults probabilistically
-    on some freshly-compiled executables (observed twice in full-suite
-    pytest runs, stack ending in compilation_cache.put_executable_and_time
-    line 265), and the min-compile-time gate runs BEFORE serialization, so
-    an effectively-infinite threshold skips the crashing path entirely.
-    The test suite runs read-only; seed the cache once with
-    ``MADIPM_CACHE_WRITE=1 python -m pytest tests/ -q`` (re-run on a crash
-    — every completed compile before the crash is already on disk, so
-    progress is monotonic).
     """
     if backend is None:
         backend = jax.default_backend()
+    if backend == "cpu" and os.environ.get("MADIPM_CPU_CACHE") != "1":
+        jax.config.update("jax_compilation_cache_dir", None)
+        return ""
     path = jax_cache_dir(backend)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update(
