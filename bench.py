@@ -226,6 +226,16 @@ def main():
         # certificate unchanged at the loosened floor: 16/16, worst
         # rel-KKT 9.7e-9 (results/known-optimum-tpu-floor1e8.txt).
         opts["pcg_tol_floor"] = 1e-8
+        # Round-5: 5 Ozaki slices (25 MXU pass-pairs instead of 49).  The
+        # operator error bound 2n*2^-40 is ~3.7e-9*rowmax*|x| at n=2048 —
+        # nominally near tol, but measured: identical known-optimum
+        # certificate (16/16, worst rel-KKT 9.728e-9 at S=5/6/7 alike; the
+        # binding error is the fp32-factor PCG floor, not the matvec),
+        # identical objectives, iters 176->178, and 425.7 -> 488.3 iter/s
+        # at m=1024 / 86.0 -> 106.8 at m=2048.  Shapes with n > 4096
+        # should use 6 (bound 6e-11 at n=8192); library default stays 7
+        # (exact for arbitrary n).
+        opts["ozaki_slices"] = 5
 
     iters, wall, stats = bench_tpu(models, opts)
     solved = sum(s.success for s in stats)

@@ -434,7 +434,8 @@ class DeviceQP:
                 return ozaki.apply_t(self.A_sl, y)
         return jnp.dot(self.A.T, y, preferred_element_type=y.dtype)
 
-    def with_ozaki(self, variant: str = "bf16", share_slices: bool = False) -> "DeviceQP":
+    def with_ozaki(self, variant: str = "bf16", share_slices: bool = False,
+                   n_slices=None) -> "DeviceQP":
         """Return a copy carrying Ozaki slicings of A (and A') (ops/ozaki.py).
 
         ``variant``: "bf16" (7 bf16 slices, fp32 MXU accumulation) or "i8"
@@ -454,9 +455,11 @@ class DeviceQP:
             return self
         return dataclasses.replace(
             self,
-            A_sl=ozaki.slice_any(self.A, variant),
-            At_sl=None if share_slices else ozaki.slice_any(self.A.T, variant),
-            Q_sl=None if self.Q is None else ozaki.slice_any(self.Q, variant),
+            A_sl=ozaki.slice_any(self.A, variant, n_slices),
+            At_sl=None if share_slices
+            else ozaki.slice_any(self.A.T, variant, n_slices),
+            Q_sl=None if self.Q is None
+            else ozaki.slice_any(self.Q, variant, n_slices),
         )
 
     def row_inf_norm(self) -> jax.Array:

@@ -50,9 +50,12 @@ import numpy as np
 T_BITS = 8
 #: number of slices.  The matvec error bound is ~2n * 2^{-8S} relative to
 #: rowmax(A) * max|x|: at the bench shape (n = 2048) S = 7 gives ~2^-44 ≈
-#: 6e-14 — comfortably below the PCG's 1e-13 corrector floor; S = 6 would
-#: sit at 1.5e-11 and cap attainable KKT residuals too close to tol=1e-8.
-N_SLICES = 7
+#: 6e-14 — comfortably below the PCG's historical 1e-13 corrector floor;
+#: S = 6 sits at ~1.5e-11 (36 instead of 49 MXU pass-pairs).  The env
+#: override exists for measurement (scripts/ablate_slices.py) — measure
+#: solve rate, iteration counts AND the known-optimum rel-KKT certificate
+#: before changing the default.
+N_SLICES = int(__import__("os").environ.get("MADIPM_OZAKI_SLICES", "7"))
 #: MXU contraction chunk (exactness bound above assumes <= 2^(24-16)).
 CHUNK = 128
 
@@ -340,10 +343,14 @@ def matvec_t_i8(sm: SlicedMatrixI8, v) -> jax.Array:
     return (2.0 * f) * y
 
 
-def slice_any(A, variant: str = "bf16"):
-    """Build slices for ``variant`` ("bf16" or "i8")."""
+def slice_any(A, variant: str = "bf16", n_slices=None):
+    """Build slices for ``variant`` ("bf16" or "i8").
+
+    ``n_slices`` (bf16 only): override N_SLICES.  6 gives a ~1.5e-11
+    relative operator (36 instead of 49 MXU pass-pairs) — measured safe
+    and faster at tol=1e-8 (see IPMOptions.ozaki_slices)."""
     if variant == "bf16":
-        return slice_matrix(A)
+        return slice_matrix(A, n_slices or N_SLICES)
     if variant == "i8":
         return slice_matrix_i8(A)
     raise ValueError(f"unknown ozaki variant {variant!r}")

@@ -88,6 +88,9 @@ class SolverConfig:
     #: None = auto (share the forward slices for A'-matvecs when the slice
     #: pair would exceed ~1 GB); see IPMOptions.ozaki_share_slices.
     ozaki_share_slices: Optional[bool] = None
+    #: bf16 slices per Ozaki operand (None = ozaki.N_SLICES); see
+    #: IPMOptions.ozaki_slices for the measured 6-vs-7 trade.
+    ozaki_slices: Optional[int] = None
     #: predictor PCG budget; None = max(2, refinement_steps // 2); 0 =
     #: preconditioner-only affine solve (see IPMOptions.predictor_pcg_budget).
     predictor_pcg_budget: Optional[int] = None
@@ -207,6 +210,7 @@ def make_config(
         mu_balance=opt.mu_balance,
         use_ozaki=use_ozaki,
         ozaki_variant=ozaki_variant,
+        ozaki_slices=opt.ozaki_slices,
         ozaki_share_slices=opt.ozaki_share_slices,
         predictor_pcg_budget=opt.predictor_pcg_budget,
         product_recurrence=opt.product_recurrence,
@@ -344,7 +348,9 @@ def initialize(cfg: SolverConfig, prob: DeviceQP) -> Tuple[DeviceQP, "ScaleInfo"
             m_, n_ = prob_s.A.shape
             pair_bytes = 2 * 7 * 2 * m_ * n_  # two copies x S=7 x bf16
             share = pair_bytes > 1 << 30
-        prob_s = prob_s.with_ozaki(cfg.ozaki_variant, share_slices=share)
+        prob_s = prob_s.with_ozaki(
+            cfg.ozaki_variant, share_slices=share, n_slices=cfg.ozaki_slices
+        )
 
     # --- Initial regularization + gradient/norms
     del_w, del_c, reg_p, reg_d = _init_regularization(cfg, dtype)

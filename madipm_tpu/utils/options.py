@@ -362,6 +362,23 @@ class IPMOptions:
     #:   "auto"     — "ozaki" on TPU, "emulated" elsewhere.
     fp64_matvec: str = "auto"
 
+    #: number of bf16 Ozaki slices per operand (None = ops/ozaki.N_SLICES
+    #: = 7, ~2^-44 operator accuracy, 49 MXU pass-pairs).  6 gives a
+    #: ~1.5e-11 relative operator from 36 pass-pairs — measured on a v5e
+    #: at tol=1e-8 (scripts/ablate_tolfloor.py runs with
+    #: MADIPM_OZAKI_SLICES=6, 2026-08-22): m=1024x8 425.7 -> 453.7 iter/s
+    #: (+6.6%, 176 iters both), m=2048x8 86.0 -> 93.4 (+8.6%), 8/8
+    #: everywhere, objectives unchanged, known-optimum certificate
+    #: IDENTICAL (16/16, worst rel-KKT 9.726e-9 — the binding error is
+    #: not the matvec).  5 slices (25 pass-pairs, bound ~2n*2^-40) was
+    #: then measured EQUALLY safe at n<=4096: certificate 16/16 at
+    #: 9.728e-9, objectives unchanged, iters 176->178, and 425.7 -> 488.3
+    #: iter/s (m=1024) / 86.0 -> 106.8 (m=2048).  The bench configs adopt
+    #: 5 for n <= 4096 and 6 above (the bound reaches 1.5e-8 by n=8192);
+    #: the library default stays 7 because the bound scales with n and 7
+    #: keeps the operator effectively exact for arbitrary problem sizes.
+    ozaki_slices: Optional[int] = None
+
     #: store only the FORWARD Ozaki slices and run A'-matvecs through the
     #: transposed chunked contraction (ops/ozaki.matvec_t) — halves the
     #: slice HBM footprint (the m=4096 batch-size lever).  None = auto:

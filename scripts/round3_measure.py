@@ -66,7 +66,7 @@ def child_probe():
             "wall_s": round(time.time() - t0, 2)}
 
 
-def _tpu_opts(mt, refinement=12, share=False):
+def _tpu_opts(mt, refinement=12, share=False, n=2048):
     d = dict(
         tol=1e-8,
         max_iter=300,
@@ -85,6 +85,9 @@ def _tpu_opts(mt, refinement=12, share=False):
         # round-5 addition: corrector rtol floor (see bench.py note /
         # scripts/ablate_tolfloor.py).
         pcg_tol_floor=1e-8,
+        # round-5: measured-safe slice counts (see bench.py note); the
+        # bound 2n*2^-8S scales with n, so n>4096 shapes take 6 slices.
+        ozaki_slices=5 if n <= 4096 else 6,
     )
     if share:
         # Shared-slice Ozaki transpose: A'-matvecs reuse the forward
@@ -124,7 +127,7 @@ def child_shape(m, n, k, density, runs=3, share=False):
     import bench as benchmod
 
     models = benchmod.make_suite(k=k, n=n, m=m, density=density)
-    opts = _tpu_opts(mt, share=share) if backend != "cpu" else dict(
+    opts = _tpu_opts(mt, share=share, n=n) if backend != "cpu" else dict(
         tol=1e-8, max_iter=300,
         regularization=mt.FixedRegularization(1e-8, -1e-8),
         print_level=mt.PrintLevel.ERROR,
@@ -158,7 +161,7 @@ def child_sparse(m, n, k, density):
     import bench as benchmod
 
     models = benchmod.make_suite(k=k, n=n, m=m, density=density)
-    opts = _tpu_opts(mt) if backend != "cpu" else dict(
+    opts = _tpu_opts(mt, n=n) if backend != "cpu" else dict(
         tol=1e-8, max_iter=300,
         regularization=mt.FixedRegularization(1e-8, -1e-8),
         print_level=mt.PrintLevel.ERROR,

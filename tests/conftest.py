@@ -11,7 +11,15 @@ import os
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_parallel_codegen_split_count" not in flags:
+    # jaxlib 0.9.0's XLA:CPU segfaults probabilistically in long processes
+    # with hundreds of compiles (observed in backend_compile_and_load and
+    # in executable (de)serialization; per-file pytest runs never crash).
+    # Serializing the LLVM codegen split removes the threaded-codegen
+    # trigger; see utils/cache.py for the related cache-disable.
+    flags = (flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax
 

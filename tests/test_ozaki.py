@@ -302,3 +302,49 @@ class TestSolverIntegration:
         assert abs(st_oz.objective - st_em.objective) <= 1e-7 * max(
             1.0, abs(st_em.objective)
         )
+
+
+class TestSliceCountOption:
+    """IPMOptions.ozaki_slices plumbing (round-5: the bench configs run 5
+    slices at n<=4096 — 25 instead of 49 MXU pass-pairs — measured safe at
+    tol=1e-8 on hardware; library default stays 7)."""
+
+    def test_with_ozaki_n_slices(self, rng):
+        from madipm_tpu.models.qp import pad_to_device
+        import madipm_tpu as mt
+
+        n, m = 128, 128
+        A = rng.standard_normal((m, n))
+        x0 = rng.random(n) + 0.5
+        qp = mt.from_dense(
+            c=rng.random(n) + 0.1, A=A, lcon=A @ x0, ucon=A @ x0,
+            lvar=np.zeros(n), uvar=np.full(n, np.inf),
+        )
+        prob = pad_to_device(qp)
+        p5 = prob.with_ozaki("bf16", n_slices=5)
+        assert p5.A_sl.slices.shape[0] == 5
+        p_default = prob.with_ozaki("bf16")
+        assert p_default.A_sl.slices.shape[0] == ozaki.N_SLICES
+        # 5-slice operator stays well under the solver's 1e-8 needs.
+        v = rng.standard_normal(prob.A.shape[1])
+        y5 = np.asarray(ozaki.apply(p5.A_sl, jnp.asarray(v)))
+        ref = np.asarray(prob.A) @ v
+        scale = max(1.0, np.max(np.abs(ref)))
+        assert np.max(np.abs(y5 - ref)) / scale < 1e-9
+
+    def test_solver_option_end_to_end(self, rng):
+        import madipm_tpu as mt
+        from tests.conftest import random_lp, scipy_linprog
+
+        c, A, b, lv, uv = random_lp(None, 60, 20, seed=77)
+        qp = mt.from_dense(c=c, A=A, lcon=b, ucon=b, lvar=lv, uvar=uv)
+        st = mt.madipm(
+            qp, print_level=mt.PrintLevel.ERROR, fp64_matvec="ozaki",
+            ozaki_slices=5, pcg_adaptive_tol=True, factor_dtype="float32",
+            refinement_steps=12, linear_solver=mt.LinearSolver.CHOLESKY_INV,
+            pcg_tol_floor=1e-8, pcg_tol_cap=1e-6, predictor_pcg_budget=0,
+            regularization=mt.FixedRegularization(1e-8, -1e-8),
+        )
+        assert st.success
+        ref = scipy_linprog(c, A, b, lv, uv)
+        assert abs(st.objective - ref.fun) < 2e-6 * (1 + abs(ref.fun))
